@@ -115,8 +115,12 @@ def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.StringType())
-def _host_of_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: host_of(u) if u else None)
+def canonicalize_href_udf(href: pd.Series, base: pd.Series) -> pd.Series:
+    """Outlink canonicalization: resolve relative hrefs against the page's
+    canonical url, then canonicalize (H5 → C1 admission path)."""
+    return pd.Series(
+        [canonicalize_url(h, base=b) for h, b in zip(href, base)], dtype=object
+    )
 
 
 def with_canonical(df, url_col: str = "url"):

@@ -1,0 +1,297 @@
+"""The crawl round job — one Spark job per round (EP2's discover +
+fetch+extract stages fused; SURVEY §3, §7.1 step 6).
+
+Dataflow per round K::
+
+    frontier ──schedule (robots + politeness window + budget)──▶ scheduled
+    scheduled ⋈ pages (newest-wins)  ──▶ hits / misses
+    hits ──extract UDF──▶ fetched rows (text, title, fields)
+    hits ──explode(outlinks) ─canon─ dedupe ─bloom+anti-join seen──▶ new
+    commit: fetched+=K, seen+=new, frontier=next snapshot,
+            hosts=advanced clocks, metrics+=per-shard lineage
+
+Every state change lands in one `TableStore.commit_round` — a crashed
+round K is invisible and idempotently re-runnable (C8 resume semantics;
+the reference's analog is JSON-checkpoint short-circuiting,
+``LinkedIn-Updated-Script.py:188-194``).
+
+Scale shape: the only wide operations are (a) the scheduler's salted
+ranking window, (b) the fetch equi-join on (url_hash, url) — at cluster
+scale both sides bucketed by url_hash so this is co-partitioned, (c) the
+seen anti-join, which the Bloom pre-probe shrinks to the maybe-seen
+slice, and (d) one groupBy for metrics. ``pages.html`` is only read
+behind the scheduled-join (column pruning keeps it out of every other
+scan).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.canon import canonicalize_href_udf, with_canonical
+from ..functions.extract import extract_udf
+from ..operators.dedup import BloomSeenSet, anti_join_seen, bloom_filtered_new, dedup_latest
+from ..operators.schedule import advance_host_clocks, schedule_round
+from ..schemas import FETCHED, FRONTIER, SEEN
+from ..sources.tables import TableStore
+
+BASE_ROUND_EPOCH = datetime(2025, 7, 25, 0, 0, 0)
+ROUND_INTERVAL = timedelta(hours=1)
+RETRY_BACKOFF = timedelta(minutes=30)
+N_METRIC_SHARDS = 32
+
+
+def round_clock(round_no: int) -> datetime:
+    """Logical round start time — derived from the round number, never
+    wall-clock (determinism invariant, SURVEY §7.4)."""
+    return BASE_ROUND_EPOCH + round_no * ROUND_INTERVAL
+
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """Canonicalize the pages table and keep the newest capture per url
+    (C10 newest-wins). Done once per corpus, reused across rounds —
+    at cluster scale this is the materialized, url_hash-bucketed form of
+    the raw WARC-derived table."""
+    canon = with_canonical(pages)
+    return dedup_latest(canon, ["url_hash"], "warc_ts")
+
+
+def init_crawl(
+    store: TableStore, seeds: DataFrame, hosts: DataFrame
+) -> None:
+    """Round 0: canonicalized seeds become the frontier AND the initial
+    seen membership (a seed is by definition discovered)."""
+    f = (
+        with_canonical(seeds)
+        .dropDuplicates(["url_hash"])
+        .select(
+            "url_hash",
+            "url",
+            "host",
+            F.col("priority").cast("int").alias("priority"),
+            F.lit(0).alias("discovered_round"),
+            F.lit(0).alias("retry_count"),
+            F.lit(None).cast("timestamp").alias("next_fetch_ts"),
+        )
+    )
+    frontier = f
+    store.write("frontier", frontier, 0)
+    store.write(
+        "seen",
+        frontier.select("url_hash", "url", "host", "discovered_round"),
+        0,
+    )
+    store.write("hosts", hosts, 0)
+    store.commit_round(0, lineage={"seeds": frontier.count()})
+
+
+def run_round(
+    store: TableStore,
+    pages_latest: DataFrame,
+    round_no: int,
+    per_host_budget: int = 5,
+    max_retries: int = 2,
+    use_bloom: bool = True,
+    n_salt: int = 16,
+    bloom_shards: int = 32,
+) -> dict:
+    """Execute round ``round_no`` (requires round ``round_no - 1``
+    committed). Returns the round's lineage counts."""
+    prev = round_no - 1
+    frontier = store.read_snapshot("frontier", up_to=prev)
+    hosts = store.read_snapshot("hosts", up_to=prev)
+    seen = store.read_delta("seen", up_to=prev)
+    if frontier is None or hosts is None or seen is None:
+        raise ValueError(f"round {prev} not committed; cannot run round {round_no}")
+
+    start_ts = round_clock(round_no)
+
+    # 1. politeness scheduling (robots + ranking window + budget)
+    scheduled = schedule_round(
+        frontier, hosts, per_host_budget, round_start_ts=start_ts, n_salt=n_salt
+    ).persist()
+
+    # 2. "fetch" = equi-join against the pages table on (url_hash, url) —
+    # the url equality guards against 64-bit hash collisions at 10^10 keys.
+    page_cols = pages_latest.select(
+        F.col("url_hash"), F.col("url"), F.col("warc_ts"), F.col("html"), F.col("lang")
+    )
+    fetched_join = scheduled.join(page_cols, on=["url_hash", "url"], how="left")
+
+    hits = fetched_join.filter(F.col("html").isNotNull())
+    misses = fetched_join.filter(F.col("html").isNull())
+
+    # 3. extraction (one Arrow batch at a time)
+    extracted = hits.withColumn("ex", extract_udf("html")).select(
+        "url_hash", "url", "host", "host_seq", "scheduled_ts", "warc_ts",
+        F.col("lang"),
+        F.col("ex.title").alias("title"),
+        F.col("ex.text").alias("text"),
+        F.col("ex.outlinks").alias("outlinks"),
+        F.length(F.col("html")).alias("__html_len"),
+        F.col("priority"),
+    ).persist()
+
+    # 4. outlink discovery → canonicalize → in-round dedupe → seen anti-join
+    links = (
+        extracted.select(
+            F.col("url").alias("src_url"),
+            F.col("priority").alias("src_priority"),
+            F.explode_outer("outlinks").alias("href"),
+        )
+        .filter(F.col("href").isNotNull())
+        .withColumn("__canon", canonicalize_href_udf(F.col("href"), F.col("src_url")))
+        .filter(F.col("__canon").isNotNull())
+        .select(F.col("__canon").alias("url"), "src_priority")
+    )
+    candidates = (
+        links.groupBy("url")
+        .agg(F.min("src_priority").alias("__pprio"))
+        .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withColumn("url_hash", F.xxhash64(F.col("url")))
+    )
+    bloom = None
+    if use_bloom:
+        bloom = BloomSeenSet.build(seen, n_shards=bloom_shards)
+    new_urls = bloom_filtered_new(candidates, seen, bloom).select(
+        "url_hash",
+        "url",
+        "host",
+        (F.col("__pprio") + 1).cast("int").alias("priority"),
+        F.lit(round_no).alias("discovered_round"),
+        F.lit(0).alias("retry_count"),
+        F.lit(None).cast("timestamp").alias("next_fetch_ts"),
+    ).persist()
+
+    # 5. next frontier: remove completed fetches, back off misses, admit new
+    retried = (  # misses beyond max_retries simply fall out of the frontier
+
+        misses.filter(F.col("retry_count") < max_retries)
+        .select(
+            "url_hash", "url", "host", "priority", "discovered_round",
+            (F.col("retry_count") + 1).alias("retry_count"),
+            F.lit(start_ts + RETRY_BACKOFF).alias("next_fetch_ts"),
+        )
+    )
+    remaining = frontier.join(
+        scheduled.select("url_hash"), on="url_hash", how="left_anti"
+    )
+    next_frontier = (
+        remaining.select(*[f.name for f in FRONTIER.fields])
+        .unionByName(retried.select(*[f.name for f in FRONTIER.fields]))
+        .unionByName(new_urls.select(*[f.name for f in FRONTIER.fields]))
+    )
+
+    # 6. fetched rows (per FETCHED schema)
+    fetched_rows = extracted.select(
+        "url_hash", "url", "host",
+        F.lit(round_no).alias("round"),
+        F.col("host_seq").cast("int"),
+        "scheduled_ts", "warc_ts", "text", "title", "lang",
+        F.size("outlinks").alias("n_outlinks"),
+        F.lit("ok").alias("fetch_status"),
+    ).unionByName(
+        misses.select(
+            "url_hash", "url", "host",
+            F.lit(round_no).alias("round"),
+            F.col("host_seq").cast("int"),
+            "scheduled_ts",
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("int").alias("n_outlinks"),
+            F.lit("miss").alias("fetch_status"),
+        )
+    )
+
+    # 7. per-shard lineage metrics (C9): shard = pmod(xxhash64(host), N)
+    shard = F.pmod(F.xxhash64("host"), F.lit(N_METRIC_SHARDS)).cast("int")
+    metrics = (
+        fetched_rows.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("scheduled"),
+            F.sum(F.when(F.col("fetch_status") == "ok", 1).otherwise(0)).alias("fetched"),
+            F.sum(F.when(F.col("fetch_status") == "miss", 1).otherwise(0)).alias("missed"),
+        )
+        .withColumn("round", F.lit(round_no))
+    )
+    new_per_shard = (
+        new_urls.withColumn("shard", F.pmod(F.xxhash64("host"), F.lit(N_METRIC_SHARDS)).cast("int"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("new_urls"))
+    )
+    html_per_shard = (
+        extracted.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(F.sum("__html_len").alias("bytes_html"))
+    )
+    metrics = (
+        metrics.join(new_per_shard, on="shard", how="full")
+        .join(html_per_shard, on="shard", how="full")
+        .select(
+            F.coalesce("round", F.lit(round_no)).alias("round"),
+            F.coalesce("shard", F.lit(-1)).alias("shard"),
+            F.coalesce("scheduled", F.lit(0)).alias("scheduled"),
+            F.coalesce("fetched", F.lit(0)).alias("fetched"),
+            F.coalesce("missed", F.lit(0)).alias("missed"),
+            F.coalesce("new_urls", F.lit(0)).alias("new_urls"),
+            F.coalesce("bytes_html", F.lit(0)).alias("bytes_html"),
+            F.lit(0.0).alias("elapsed_sec"),
+        )
+    )
+
+    # 8. durable writes, then the atomic commit
+    new_hosts = advance_host_clocks(hosts, scheduled, round_start_ts=start_ts)
+    store.write("fetched", fetched_rows, round_no)
+    store.write(
+        "seen", new_urls.select("url_hash", "url", "host", "discovered_round"), round_no
+    )
+    store.write("frontier", next_frontier, round_no)
+    store.write("hosts", new_hosts, round_no)
+    store.write("metrics", metrics, round_no)
+
+    lineage = {
+        "scheduled": scheduled.count(),
+        "fetched": hits.count(),
+        "missed": misses.count(),
+        "new_urls": new_urls.count(),
+    }
+    store.commit_round(round_no, lineage=lineage)
+    scheduled.unpersist()
+    extracted.unpersist()
+    new_urls.unpersist()
+    return lineage
+
+
+def run_crawl(
+    store: TableStore,
+    pages: DataFrame,
+    seeds: DataFrame,
+    hosts: DataFrame,
+    n_rounds: int,
+    per_host_budget: int = 5,
+    resume: bool = True,
+    **round_kwargs,
+) -> list[dict]:
+    """Multi-round driver with resume: picks up after the last committed
+    round (C8). An interrupted run and a fresh run converge to identical
+    tables (tested)."""
+    pages_latest = prepare_pages(pages).persist()
+    last = store.last_committed_round()
+    if last is None:
+        init_crawl(store, seeds, hosts)
+        last = 0
+    elif not resume:
+        raise ValueError("store already initialized; pass resume=True")
+    lineages = []
+    for r in range(last + 1, n_rounds + 1):
+        lineages.append(
+            run_round(store, pages_latest, r, per_host_budget=per_host_budget, **round_kwargs)
+        )
+    pages_latest.unpersist()
+    return lineages
