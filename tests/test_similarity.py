@@ -1,0 +1,177 @@
+"""Dedup/similarity operators vs independent Python oracles on the
+driver-provided documents/embeddings tables (sf0.001)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webscraper_spark.operators.similarity import (
+    MINHASH_PERMS,
+    POLY_MOD,
+    POLY_MULT,
+    cosine_topk,
+    embedding_near_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- Python oracle twins (independent reimplementation) -------------------
+
+def py_words(text):
+    return text.strip().lower().split()
+
+
+def py_poly(s):
+    acc = 0
+    for ch in s:
+        acc = (acc * POLY_MULT + ord(ch)) % POLY_MOD
+    return acc
+
+
+def py_shingle_hashes(text, k=3):
+    w = py_words(text)
+    return [py_poly(" ".join(w[i : i + k])) for i in range(len(w) - k + 1)]
+
+
+def py_minhash(text, n=32, k=3):
+    hs = py_shingle_hashes(text, k)
+    return [min(((a * h + b) % POLY_MOD) for h in hs) if hs else None
+            for a, b in MINHASH_PERMS[:n]]
+
+
+def py_simhash(text, bits=30):
+    votes = [0] * bits
+    for w in py_words(text):
+        h = py_poly(w)
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for v in reversed(votes):
+        out = out * 2 + (1 if v > 0 else 0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_minhash_matches_python_oracle(spark, docs):
+    rows = minhash_signatures(docs.limit(30)).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(30).collect()}
+    for r in rows:
+        assert list(r["sig"]) == py_minhash(texts[r["doc_id"]]), r["doc_id"]
+
+
+def test_simhash_matches_python_oracle(spark, docs):
+    rows = simhash(docs.limit(30)).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(30).collect()}
+    for r in rows:
+        assert r["simhash"] == py_simhash(texts[r["doc_id"]]), r["doc_id"]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id: long, text: string"
+    )
+    rows = {r["canonical_id"]: r for r in exact_dedup(df).collect()}
+    assert rows[1]["n_copies"] == 2 and rows[1]["member_ids"] == [1, 2]
+    assert rows[3]["n_copies"] == 1
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+            (3, "completely different words here now then"),
+        ],
+        "doc_id: long, text: string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df).collect()}
+    # oracle: shingle sets
+    def sh(t):
+        w = py_words(t)
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    a, b = sh("the quick brown fox jumps over the lazy dog"), sh(
+        "the quick brown fox jumps over a lazy dog"
+    )
+    want = len(a & b) / len(a | b)
+    assert pairs[(1, 2)] == pytest.approx(want)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_finds_near_duplicates(spark, docs):
+    # construct guaranteed near-dups: doc + copy with one word changed
+    base = docs.limit(20).select("doc_id", "text")
+    dup = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    both = base.unionByName(dup)
+    pairs = lsh_candidate_pairs(both).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for r in base.collect():
+        assert (r["doc_id"], r["doc_id"] + 100000) in found
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, docs):
+    """Banded LSH must recall every pair above the band threshold —
+    verified against the exact Jaccard join (recall, not precision)."""
+    sample = docs.limit(120)
+    exact = ngram_jaccard_pairs(sample, min_jaccard=0.8)
+    cands = lsh_candidate_pairs(sample)
+    missing = exact.join(cands, on=["id_a", "id_b"], how="left_anti").count()
+    assert missing == 0
+
+
+def test_simhash_near_pairs_hamming_correct(spark, docs):
+    sample = docs.limit(150)
+    pairs = simhash_near_pairs(sample, max_hamming=6).collect()
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(sample).collect()}
+    for r in pairs:
+        assert bin(sh[r["id_a"]] ^ sh[r["id_b"]]).count("1") == r["hamming"]
+        assert r["hamming"] <= 6
+
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    q = embs.filter(F.col("vec_id") == 0)
+    got = cosine_topk(embs, q, k=5).orderBy("rank").collect()
+    rows = embs.collect()
+    qv = np.array([r["embedding"] for r in rows if r["vec_id"] == 0][0], dtype=np.float64)
+    scores = []
+    for r in rows:
+        if r["vec_id"] == 0:
+            continue
+        v = np.array(r["embedding"], dtype=np.float64)
+        c = round(float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 6)
+        scores.append((-c, r["vec_id"]))
+    want = sorted(scores)[:5]
+    assert [(r["vec_id"]) for r in got] == [v for _, v in want]
+    for r, (negc, _) in zip(got, want):
+        assert r["cosine"] == pytest.approx(-negc, abs=1e-6)
+
+
+def test_embedding_near_pairs_verified_cosine(spark, embs):
+    pairs = embedding_near_pairs(embs.limit(200), min_cosine=0.5).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embs.limit(200).collect()}
+    for r in pairs[:50]:
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["cosine"] == pytest.approx(want, abs=1e-5)
+        assert r["cosine"] >= 0.5

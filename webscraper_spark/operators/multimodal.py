@@ -1,0 +1,148 @@
+"""Multimodal columns: binary media + typed metadata over mapInPandas.
+
+Images/audio/video ride as opaque ``binary`` columns next to typed
+metadata (the same shape as ``pages.html``). The Spark-side plumbing —
+schemas, batch iteration, partition sizing — is real and tested; the
+codec step is STUBBED (this container has no image/audio libraries):
+``decode_image`` parses our deterministic fake header and raises
+``NotImplementedError`` for real formats, exactly where a PIL/ffmpeg
+call would slot in.
+
+Scale shape: ``mapInPandas`` streams Arrow batches, so one task never
+materializes more than ``spark.sql.execution.arrow.maxRecordsPerBatch``
+media blobs; repartition upstream by size so a partition's blobs fit in
+executor memory (binary columns defeat row-count-based sizing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField("meta_w", T.IntegerType(), True),
+        T.StructField("meta_h", T.IntegerType(), True),
+    ]
+)
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+FAKE_MAGIC = b"FAKEIMG1"
+
+
+def encode_fake_image(width: int, height: int, seed: int) -> bytes:
+    """Deterministic stand-in codec: header + seeded uint8 pixel payload."""
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 256, width * height, dtype=np.uint8).tobytes()
+    return FAKE_MAGIC + width.to_bytes(4, "big") + height.to_bytes(4, "big") + payload
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Codec seam. Fake format decodes; real formats raise at exactly the
+    line where PIL/turbojpeg would be called in production."""
+    if blob is None:
+        raise ValueError("null blob")
+    if blob[:8] == FAKE_MAGIC:
+        w = int.from_bytes(blob[8:12], "big")
+        h = int.from_bytes(blob[12:16], "big")
+        return np.frombuffer(blob[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
+    raise NotImplementedError(
+        "real image codecs unavailable in this container; plug PIL/libjpeg here"
+    )
+
+
+def _phash(img: np.ndarray, grid: int = 8) -> int:
+    """Average-hash over a grid×grid downsample (deterministic, no deps)."""
+    h, w = img.shape
+    ys = (np.arange(grid) * h) // grid
+    xs = (np.arange(grid) * w) // grid
+    small = img[np.ix_(ys, xs)].astype(np.float64)
+    bits = (small > small.mean()).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out - (1 << 63) if out >= (1 << 63) else out
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract images via mapInPandas (C7-style per-item
+    error isolation: decode failures become rows, not task failures)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                row = {"media_id": mid, "width": None, "height": None,
+                       "mean_luma": None, "phash": None, "decode_error": None}
+                try:
+                    img = decode_image(blob)
+                    row.update(
+                        width=img.shape[1], height=img.shape[0],
+                        mean_luma=round(float(img.mean()), 4), phash=_phash(img),
+                    )
+                except (NotImplementedError, ValueError, IndexError) as e:
+                    row["decode_error"] = type(e).__name__
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES.fields])
+
+    return media.filter("kind = 'image'").select("media_id", "blob").mapInPandas(
+        _batches, schema=IMAGE_FEATURES
+    )
+
+
+def resize_stub(media: DataFrame, target: int = 64) -> DataFrame:
+    """Resize plumbing: same batch shape as :func:`image_features`; the
+    interpolation kernel is the stubbed seam (nearest-neighbor on the fake
+    codec, NotImplementedError on real formats)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("blob", T.BinaryType(), True),
+            T.StructField("meta_w", T.IntegerType(), True),
+            T.StructField("meta_h", T.IntegerType(), True),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                try:
+                    img = decode_image(blob)
+                    ys = (np.arange(target) * img.shape[0]) // target
+                    xs = (np.arange(target) * img.shape[1]) // target
+                    small = img[np.ix_(ys, xs)]
+                    payload = (
+                        FAKE_MAGIC
+                        + target.to_bytes(4, "big")
+                        + target.to_bytes(4, "big")
+                        + small.astype(np.uint8).tobytes()
+                    )
+                    rows.append({"media_id": mid, "blob": payload,
+                                 "meta_w": target, "meta_h": target})
+                except (NotImplementedError, ValueError):
+                    rows.append({"media_id": mid, "blob": None,
+                                 "meta_w": None, "meta_h": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return media.filter("kind = 'image'").select("media_id", "blob").mapInPandas(
+        _batches, schema=out_schema
+    )

@@ -1,0 +1,126 @@
+"""Text analysis for training-data curation: language-ID, quality
+scoring, token counting, fingerprinting.
+
+The reference has no corpus analytics (its "quality control" is regex
+count-parsers, ``Glassdoor_Scraper_New.py:249-268``); these operators are
+the engine's training-pipeline extension, all JVM-side expressions
+(whole-stage codegen) so they run at scan speed over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import POLY_MOD, POLY_MULT, words_sql
+
+# small frozen stopword profiles for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+}
+
+
+def token_count_col(text: str) -> Column:
+    """Whitespace token count (the pretraining budget unit)."""
+    return F.when(F.trim(F.col(text)) == "", F.lit(0)).otherwise(
+        F.size(F.expr(words_sql(text)))
+    )
+
+
+def bpe_ish_token_count_col(text: str) -> Column:
+    """Sub-word-ish token estimate: word-boundary pieces + digit runs +
+    punctuation marks (a deterministic regex stand-in for a BPE vocab)."""
+    pieces = F.expr(
+        rf"size(regexp_extract_all({text}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))"
+    )
+    return pieces
+
+
+def stopword_hits_col(text: str, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter({words_sql(text)}, w -> array_contains(array({arr}), w)))"
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-profile language ID: argmax of per-language stopword hit
+    counts; 'und' (undetermined) when no profile hits. Deterministic
+    tie-break by language code order en < de < fr (greatest-first)."""
+    scored = df.withColumns(
+        {f"__hits_{l}": stopword_hits_col(text_col, l) for l in STOPWORDS}
+    )
+    best = F.greatest(*[F.col(f"__hits_{l}") for l in STOPWORDS])
+    pick = (
+        F.when(best <= 0, F.lit("und"))
+        .when(F.col("__hits_en") == best, F.lit("en"))
+        .when(F.col("__hits_de") == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.withColumn(out_col, pick).drop(
+        *[f"__hits_{l}" for l in STOPWORDS]
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features (Gopher/C4-style cheap filters):
+    length, token count, mean word length, stopword ratio, punctuation
+    ratio, uppercase ratio, repetition (distinct/total words)."""
+    n_chars = F.length(F.col(text_col))
+    tokens = token_count_col(text_col)
+    words = F.expr(words_sql(text_col))
+    return df.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_tokens": tokens,
+            "mean_word_len": F.round(
+                F.when(tokens > 0, n_chars.cast("double") / tokens), 4
+            ),
+            "stopword_ratio": F.round(
+                F.when(tokens > 0, stopword_hits_col(text_col, "en").cast("double") / tokens),
+                4,
+            ),
+            "punct_ratio": F.round(
+                F.when(
+                    n_chars > 0,
+                    F.expr(rf"length(regexp_replace({text_col}, '[^.,;:!?]', ''))").cast(
+                        "double"
+                    )
+                    / n_chars,
+                ),
+                4,
+            ),
+            "distinct_word_ratio": F.round(
+                F.when(tokens > 0, F.size(F.array_distinct(words)).cast("double") / tokens),
+                4,
+            ),
+        }
+    )
+
+
+def quality_score_col() -> Column:
+    """Composite [0,1] score over the features of :func:`quality_features`
+    (fixed weights; a stand-in for a learned filter)."""
+    length_ok = F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 10000), 1.0).otherwise(0.0)
+    word_len_ok = F.when(
+        (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 12), 1.0
+    ).otherwise(0.0)
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.05, 1.0).otherwise(0.0)
+    rep_ok = F.when(F.col("distinct_word_ratio") >= 0.2, 1.0).otherwise(0.0)
+    return F.round((length_ok + word_len_ok + stop_ok + rep_ok) / 4.0, 4)
+
+
+def fingerprint_col(text: str) -> Column:
+    """Order-sensitive document fingerprint: polynomial fold of word
+    hashes (the portable rolling hash — identical in the DuckDB oracle).
+    Equal texts ⇒ equal fingerprints; used for cheap content identity."""
+    from .similarity import poly_hash_sql
+
+    wh = f"transform({words_sql(text)}, w -> {poly_hash_sql('w')})"
+    return F.expr(
+        f"aggregate({wh}, cast(0 as bigint), "
+        f"(acc, h) -> (acc * {POLY_MULT} + h) % {POLY_MOD})"
+    )
