@@ -1,38 +1,1125 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl round at sf0.001. ``queries()``
+exposes one DataFrame program per implemented operator family from
+SURVEY.md §2 (plus the training-data extensions), and ``oracle_sql()``
+gives each one's ANSI-SQL twin for the DuckDB cross-check. Crawl-specific
+inputs (urls, hosts, robots, frontiers) are derived *deterministically*
+from the driver's own tables (documents / orders / customer), so the
+oracle can compute the expected answer independently from the same rows.
+
+Column-name + value parity rules observed throughout:
+- every computed column is aliased identically on both sides;
+- integer aggregates are BIGINT on both sides;
+- float math is either (a) exact (decimal sums, integer-valued doubles),
+  (b) the identical left-fold expression on both engines, or (c) rounded
+  the same way on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from webscraper_spark.functions.canon import canonicalize_href_udf, canonicalize_url_udf
+from webscraper_spark.functions.extract import extract_udf
+from webscraper_spark.functions.robots import parse_robots_udf, robots_allows_udf
+from webscraper_spark.functions.textfns import (
+    clean_rating_col,
+    convalue_col,
+    extract_id_col,
+    filter_domain_col,
+    normalize_string_udf,
+    sanitize_name_col,
+    site_root_col,
+)
+from webscraper_spark.operators.categorize import geo_pipeline, threshold_filter
+from webscraper_spark.operators.dedup import (
+    BloomSeenSet,
+    anti_join_seen,
+    bloom_filtered_new,
+    dedup_latest,
+)
+from webscraper_spark.operators.multimodal import image_features
+from webscraper_spark.operators.schedule import schedule_round
+from webscraper_spark.operators.similarity import (
+    MINHASH_PERMS,
+    cosine_topk,
+    embedding_near_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from webscraper_spark.operators.textstats import (
+    STOPWORDS,
+    bpe_ish_token_count_col,
+    lang_id,
+    quality_features,
+    quality_score_col,
+    token_count_col,
+)
+from webscraper_spark.operators.topk import topk_per_group
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _s(c) -> F.Column:
+    return F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+
+
+ROUND_START = datetime(2025, 8, 1, 0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# derived crawl corpus (pages/frontier/hosts built from `documents`)
+# ---------------------------------------------------------------------------
+
+def _derived_corpus(spark: SparkSession, sf_dir: str):
+    """Deterministic Common-Crawl-shaped corpus derived from the driver's
+    ``documents`` table: url/host from doc_id, html embeds the text plus
+    two outlinks to other rows (closure over the table)."""
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    t1 = (i * 3 + 1) % n
+    t2 = (i * 7 + 2) % n
+    host = F.concat(F.lit("h"), _s(i % 8), F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/d/"), _s(i))
+
+    def _link(t):
+        return F.concat(
+            F.lit('<a href="https://h'), _s(t % 8), F.lit(".example/d/"), _s(t),
+            F.lit('">l</a>'),
+        )
+
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), _s(i),
+        F.lit("</title></head><body><h1>Doc "), _s(i), F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p>"), _link(t1), _link(t2),
+        F.lit("</body></html>"),
+    )
+    pages_full = docs.select(
+        F.col("doc_id"),
+        url.alias("url"),
+        F.timestamp_add("SECOND", i.cast("int"), F.lit(datetime(2025, 7, 25))).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.xxhash64(url).alias("url_hash"),
+        host.alias("host"),
+    )
+    frontier = pages_full.filter(F.col("doc_id") % 5 == 0).select(
+        "url_hash", "url", "host",
+        (F.col("doc_id") % 3).cast("int").alias("priority"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(0).alias("retry_count"),
+        F.lit(None).cast("timestamp").alias("next_fetch_ts"),
+    )
+    pages = pages_full.drop("doc_id")
+    hosts = spark.range(8).select(
+        F.concat(F.lit("h"), _s(F.col("id")), F.lit(".example")).alias("host"),
+        F.lit(None).cast("string").alias("robots_txt"),
+        F.lit(1000).cast("long").alias("crawl_delay_ms"),
+        F.lit(ROUND_START).alias("next_allowed_ts"),
+    )
+    return pages, frontier, hosts
+
+
+def _crawl_round(spark: SparkSession, sf_dir: str, budget: int = 3) -> DataFrame:
+    """One full crawl round over the derived corpus: politeness schedule →
+    fetch join → Arrow extraction → outlink discovery → seen anti-join.
+    Non-SQL-expressible (stateful scheduling + Python-kernel extraction):
+    rows-only check."""
+    pages, frontier, hosts = _derived_corpus(spark, sf_dir)
+    seen = frontier.select("url_hash")
+    scheduled = schedule_round(
+        frontier, hosts, per_host_budget=budget, round_start_ts=ROUND_START, n_salt=4
+    )
+    hits = scheduled.join(
+        pages.select("url_hash", "url", "warc_ts", "html"), on=["url_hash", "url"]
+    )
+    extracted = hits.withColumn("ex", extract_udf("html")).select(
+        "url", "host", F.col("host_seq").cast("long").alias("host_seq"),
+        "scheduled_ts",
+        F.col("ex.title").alias("title"),
+        F.col("ex.text").alias("text"),
+        F.col("ex.outlinks").alias("outlinks"),
+    )
+    links = (
+        extracted.select(F.col("url").alias("src"), F.explode("outlinks").alias("href"))
+        .withColumn("link", canonicalize_href_udf(F.col("href"), F.col("src")))
+        .filter(F.col("link").isNotNull())
+        .select(F.col("link").alias("url"))
+        .distinct()
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    new_urls = anti_join_seen(links, seen)
+    n_new = new_urls.count()
+    return extracted.select(
+        "url", "host", "host_seq", "scheduled_ts", "title",
+        F.size("outlinks").cast("long").alias("n_outlinks"),
+        F.lit(int(n_new)).cast("long").alias("new_urls_total"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl round (schedule → fetch → extract → discover →
+    dedup) over the corpus derived from /root/testdata/sf0.001."""
+    return _crawl_round(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# scheduling / frontier queries (orders-derived urls)
+# ---------------------------------------------------------------------------
+
+def _order_urls(spark, sf_dir, private_paths: bool):
+    ok = F.col("o_orderkey")
+    j = ok % 12
+    host = F.concat(F.lit("h"), _s(j), F.lit(".example"))
+    if private_paths:
+        path = F.when(ok % 10 == 0, F.concat(F.lit("/private/o/"), _s(ok))).otherwise(
+            F.concat(F.lit("/o/"), _s(ok))
+        )
+    else:
+        path = F.concat(F.lit("/o/"), _s(ok))
+    url = F.concat(F.lit("https://"), host, path)
+    return _read(spark, sf_dir, "orders").select(
+        ok.alias("o_orderkey"), host.alias("host"), url.alias("url"),
+        F.xxhash64(url).alias("url_hash"),
+    )
+
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/C4/C5: robots-gated, budgeted, per-host politeness scheduling.
+    Priorities are unique per host so the rank order is oracle-computable."""
+    base = _order_urls(spark, sf_dir, private_paths=True)
+    frontier = base.select(
+        "url_hash", "url", "host",
+        F.col("o_orderkey").cast("int").alias("priority"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(0).alias("retry_count"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit(datetime(2025, 9, 1)))
+        .cast("timestamp").alias("next_fetch_ts"),
+    )
+    j = F.col("id")
+    robots = F.when(
+        j % 2 == 0,
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/"),
+            F.when(j % 4 == 0, F.lit("\nCrawl-delay: 3")).otherwise(F.lit("")),
+        ),
+    )
+    hosts = spark.range(12).select(
+        F.concat(F.lit("h"), _s(j), F.lit(".example")).alias("host"),
+        robots.alias("robots_txt"),
+        (F.lit(1000) + 250 * j).cast("long").alias("crawl_delay_ms"),
+        F.timestamp_add("MINUTE", j.cast("int"), F.lit(ROUND_START)).alias("next_allowed_ts"),
+    )
+    out = schedule_round(frontier, hosts, per_host_budget=4,
+                         round_start_ts=ROUND_START, n_salt=4)
+    return out.select(
+        "url", "host", F.col("host_seq").cast("long").alias("host_seq"),
+        "scheduled_ts", F.col("delay_ms").cast("long").alias("delay_ms"),
+    )
+
+
+def q_bloom_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered Bloom + exact anti-join dedup (J1/C1). Oracle is the exact
+    set difference — proves the Bloom path has no false negatives and the
+    confirm join removes its false positives."""
+    cand = _order_urls(spark, sf_dir, private_paths=False)
+    seen = cand.filter(F.col("o_orderkey") % 3 == 0).select("url_hash")
+    bloom = BloomSeenSet.build(seen, n_shards=8)
+    return bloom_filtered_new(cand, seen, bloom).select("url", "host")
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: robots.txt parse + first-match-wins admission, vectorized."""
+    i = F.col("doc_id")
+    j = i % 6
+    host = F.concat(F.lit("rh"), _s(j), F.lit(".example"))
+    path = (
+        F.when(i % 4 == 0, F.concat(F.lit("/private/x/"), _s(i)))
+        .when(i % 4 == 1, F.concat(F.lit("/tmp/y/"), _s(i)))
+        .when(i % 4 == 2, F.concat(F.lit("/pub/"), _s(i)))
+        .otherwise(F.lit("/"))
+    )
+    robots = F.when(
+        j % 2 == 0,
+        F.lit(
+            "User-agent: bot\nDisallow: /pub/\n"
+            "User-agent: *\nDisallow: /private/\nDisallow: /tmp/\nAllow: /tmp/ok"
+        ),
+    ).otherwise(F.lit("User-agent: *\nAllow: /"))
+    df = _read(spark, sf_dir, "documents").select(
+        i.alias("doc_id"), host.alias("host"), path.alias("path"), robots.alias("robots_txt")
+    )
+    parsed = df.withColumn("__r", parse_robots_udf(F.col("robots_txt")))
+    return parsed.select(
+        "doc_id", "host", "path",
+        robots_allows_udf(F.col("path"), F.col("__r.rules")).alias("allowed"),
+    )
+
+
+def q_canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (url form): canonicalization kernel — case, fragment, default
+    port, query-param sort, trailing slash."""
+    i = F.col("doc_id")
+    h = _s(i % 9)
+    base = F.concat(F.lit("https://host"), h, F.lit(".example/p/"), _s(i))
+    raw = (
+        F.when(i % 5 == 0, F.concat(F.lit("HTTPS://HOST"), h, F.lit(".EXAMPLE/p/"), _s(i)))
+        .when(i % 5 == 1, F.concat(base, F.lit("#sec")))
+        .when(i % 5 == 2, F.concat(F.lit("https://host"), h, F.lit(".example:443/p/"), _s(i)))
+        .when(i % 5 == 3, F.concat(base, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(base, F.lit("/")))
+    )
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(i.alias("doc_id"), raw.alias("raw_url"))
+        .withColumn("canon_url", canonicalize_url_udf(F.col("raw_url")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: grouped conditional sums at scan speed (decimal-exact)."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qd).cast("double").alias("sum_qty"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.sum(ep * (F.lit(1).cast("decimal(18,2)") - dd)).cast("double").alias("sum_disc_price"),
+        (F.sum(qd).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast dimension joins + rollup."""
+    c = _read(spark, sf_dir, "customer")
+    n = F.broadcast(_read(spark, sf_dir, "nation"))
+    r = F.broadcast(_read(spark, sf_dir, "region"))
+    j = c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    acct = F.col("c_acctbal").cast("decimal(18,2)")
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(acct).cast("double").alias("total_acctbal"),
+        (F.sum(acct).cast("double") / F.count(F.lit(1))).alias("avg_acctbal"),
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/O3: salted skew-safe top-k per group."""
+    o = _read(spark, sf_dir, "orders")
+    out = topk_per_group(
+        o, ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3, rank_col="rank", n_salt=4,
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank"))
+
+
+def q_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/P6: per-group share-of-total threshold (the reference's 5% noise
+    filter) as an analytic window."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return threshold_filter(li, group_col="l_orderkey", cnt_col="l_quantity", frac=0.05)
+
+
+def q_unmatched_companies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/U1+F1: normalized-key anti-join (the crunchbase dedup kernel)."""
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    name = (
+        F.when(k % 4 == 0, F.col("c_name"))
+        .when(k % 4 == 1, F.concat(F.col("c_name"), F.lit(".example")))
+        .when(k % 4 == 2, F.concat(F.upper(F.col("c_name")), F.lit("!!!")))
+        .otherwise(F.concat(F.col("c_name"), F.lit(" Holdings")))
+    )
+    incoming = c.filter(k % 2 == 0).select(
+        k.alias("c_custkey"), name.alias("raw_name"),
+        normalize_string_udf(name).alias("norm_key"),
+    )
+    crm = c.filter(k % 3 == 0).select(normalize_string_udf(F.col("c_name")).alias("norm_key"))
+    return incoming.join(crm, on="norm_key", how="left_anti")
+
+
+def q_matched_companies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 semi side of the same partition."""
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    name = (
+        F.when(k % 4 == 0, F.col("c_name"))
+        .when(k % 4 == 1, F.concat(F.col("c_name"), F.lit(".example")))
+        .when(k % 4 == 2, F.concat(F.upper(F.col("c_name")), F.lit("!!!")))
+        .otherwise(F.concat(F.col("c_name"), F.lit(" Holdings")))
+    )
+    incoming = c.filter(k % 2 == 0).select(
+        k.alias("c_custkey"), name.alias("raw_name"),
+        normalize_string_udf(name).alias("norm_key"),
+    )
+    crm = c.filter(k % 3 == 0).select(normalize_string_udf(F.col("c_name")).alias("norm_key"))
+    return incoming.join(crm, on="norm_key", how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# event-stream analytics (windows / aggregations)
+# ---------------------------------------------------------------------------
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/C10: newest-wins dedup ((user_id, ts) is unique in this data)."""
+    e = _read(spark, sf_dir, "events")
+    return dedup_latest(e, ["user_id"], "ts").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+def q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: count by outcome."""
+    return _read(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: running mean per user (decimal-exact prefix sums)."""
+    e = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vd = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "user_id", "event_id",
+        (F.sum(vd).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("running_avg"),
+    )
+
+
+def q_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: collect-list with per-element formatting, count-desc sorted."""
+    e = _read(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    fmt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n")).alias("negn"),
+                        F.col("event_type").alias("name"),
+                        F.col("n").alias("n"),
+                    )
+                )
+            ),
+            lambda x: F.concat(x["name"], F.lit(" ("), x["n"].cast("string"), F.lit(")")),
+        ),
+        ", ",
+    )
+    return counts.groupBy("user_id").agg(fmt.alias("hist"))
+
+
+def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: collect_set → sorted join."""
+    return _read(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types")
+    )
+
+
+def q_event_props_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/F15: predicate filters + JSON payload decode."""
+    e = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.withColumn("props_k", k)
+        .filter((F.col("props_k") % 2 == 0) & (F.col("value") > 100.0))
+        .select("event_id", "event_type", "props_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar kernels
+# ---------------------------------------------------------------------------
+
+def q_convalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: human-suffixed count parsing ('12k', '1.5m', '1,234')."""
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    raw = (
+        F.when(k % 5 == 0, F.concat(_s(k % 97), F.lit("k")))
+        .when(k % 5 == 1, F.concat(_s(k % 97), F.lit("."), _s(k % 10), F.lit("m")))
+        .when(k % 5 == 2, _s((k * 37) % 100000))
+        .when(k % 5 == 3, F.lit("n/a"))
+        .otherwise(
+            F.concat(_s(k % 9 + 1), F.lit(","), F.lpad(_s((k * 7) % 1000), 3, "0"))
+        )
+    )
+    return c.select(k.alias("c_custkey"), raw.alias("raw"), convalue_col(raw).alias("value"))
+
+
+def q_clean_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: rating cleanup — parse, clamp to [0,5] else null."""
+    e = _read(spark, sf_dir, "events")
+    r = F.col("value") % 7
+    return e.select("event_id", clean_rating_col(r).alias("rating"))
+
+
+def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F5/F9: host strip, site root, embedded-id regex, filename
+    sanitization."""
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    raw = F.concat(
+        F.lit("https://WWW.Site"), _s(i % 20), F.lit(".Example.com/co/EI_IE"),
+        _s(i), F.lit(".htm?ref="), F.col("source"),
+    )
+    return d.select(
+        i.alias("doc_id"),
+        raw.alias("raw_url"),
+        filter_domain_col(raw).alias("domain"),
+        site_root_col(raw).alias("site_root"),
+        extract_id_col(raw).alias("gd_id"),
+        sanitize_name_col(raw).alias("fname"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# geo categorization (the reference's analytics tail)
+# ---------------------------------------------------------------------------
+
+def q_geo_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J8/W2/A1/A2/A3: threshold → multi-strategy broadcast match →
+    conditional rollup (EP3's categorize_employee_counts)."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    k = F.col("c_custkey")
+    base = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        F.concat(F.lit("co"), _s(k % 40)).alias("url"),
+        (
+            F.when(k % 5 == 0, F.col("n_name"))
+            .when(k % 5 == 1, F.concat(F.lit("Greater "), F.col("n_name"), F.lit(" Metropolitan Area")))
+            .when(k % 5 == 2, F.concat(F.col("n_name"), F.lit(", Region "), _s(k % 3)))
+            .when(k % 5 == 3, F.concat(F.col("n_name"), F.lit(" Area")))
+            .otherwise(F.concat(F.lit("Nowhere "), _s(k)))
+        ).alias("location"),
+        (k % 23 + 1).alias("cnt"),
+    )
+    facts = base.groupBy("url", "location").agg(F.sum("cnt").cast("long").alias("cnt"))
+    nk = F.col("n_nationkey")
+    dim = n.select(
+        F.lower(F.col("n_name")).alias("name"),
+        F.concat(F.lit("rec"), F.lpad(_s(nk), 2, "0")).alias("record_id"),
+        nk.cast("long").alias("geo_id"),
+        (
+            F.when(nk == 24, F.lit("country, us_city"))
+            .when(nk % 5 == 4, F.lit("us_city"))
+            .otherwise(F.lit("country"))
+        ).alias("loc_type"),
+    )
+    hq = dim.filter(F.col("geo_id") < 5).select("record_id")
+    out = geo_pipeline(facts, dim, hq, threshold_frac=0.05)
+    return out.select(
+        "url",
+        F.col("hq_ee_count").cast("long").alias("hq_ee_count"),
+        F.col("us_ee_count").cast("long").alias("us_ee_count"),
+        "other_us_cities", "other_countries",
+        F.array_join(F.col("matched_record_ids"), ",").alias("matched_record_ids"),
+        F.col("total_ee_count").cast("long").alias("total_ee_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family + similarity search (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    out = exact_dedup(d)
+    return out.select(
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.array_join(F.transform(F.col("member_ids"), lambda x: x.cast("string")), ",").alias("member_ids"),
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, n_hashes=32, k=3, bands=8)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=3, min_jaccard=0.1)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    out = simhash_near_pairs(d, bits=30, bands=3, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    out = cosine_topk(e, q, k=10)
+    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(e, min_cosine=0.3)
+
+
+# ---------------------------------------------------------------------------
+# text-analysis operators (training-data curation)
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return lang_id(d).select("doc_id", "lang", "lang_pred")
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = quality_features(d).withColumn("quality_score", quality_score_col())
+    return feats.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len", "stopword_ratio", "punct_ratio", "distinct_word_ratio",
+        "quality_score",
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col("text").cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count_col("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscraper_spark.operators.textstats import fingerprint_col
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_col("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _crawl_round(spark, sf_dir)
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column → mapInPandas feature
+    extraction (decode step stubbed — deterministic fake codec)."""
+    from webscraper_spark.operators.multimodal import encode_fake_image
+
+    @F.pandas_udf(T.BinaryType())
+    def _blob(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_fake_image(16 + (int(i) % 5) * 4, 16, int(i)))
+
+    media = spark.range(40).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        _blob(F.col("id")).alias("blob"),
+        (16 + (F.col("id") % 5) * 4).cast("int").alias("meta_w"),
+        F.lit(16).cast("int").alias("meta_h"),
+    )
+    return image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # crawl engine
+        "politeness_schedule": q_politeness_schedule,
+        "bloom_seen_dedup": q_bloom_seen_dedup,
+        "robots_gate": q_robots_gate,
+        "canonicalize_urls": q_canonicalize_urls,
+        "crawl_round": q_crawl_round,
+        # relational core
+        "pricing_summary": q_pricing_summary,
+        "region_rollup": q_region_rollup,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "share_threshold": q_share_threshold,
+        "unmatched_companies": q_unmatched_companies,
+        "matched_companies": q_matched_companies,
+        # event analytics
+        "latest_event_per_user": q_latest_event_per_user,
+        "event_type_counts": q_event_type_counts,
+        "running_avg": q_running_avg,
+        "event_histogram": q_event_histogram,
+        "distinct_event_types": q_distinct_event_types,
+        "event_props_filter": q_event_props_filter,
+        # scalar kernels
+        "convalue": q_convalue,
+        "clean_ratings": q_clean_ratings,
+        "url_kernels": q_url_kernels,
+        # geo categorization
+        "geo_categorize": q_geo_categorize,
+        # dedup + similarity
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        # text analysis
+        "lang_id": q_lang_id,
+        "quality_features": q_quality_features,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        # multimodal (rows-only)
+        "image_features": q_image_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+_MOD = 1_000_000_007
+
+
+def _dd_words(text: str = "text") -> str:
+    return rf"string_split_regex(lower(trim({text})), '\s+')"
+
+
+def _dd_poly(s: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, length({s})+1), "
+        f"i -> ascii(substr({s}, i, 1))::BIGINT), "
+        f"(acc, c) -> (acc * 131 + c) % {_MOD})"
+    )
+
+
+def _dd_shingles(ws: str, k: int = 3) -> str:
+    join = " || ' ' || ".join(f"{ws}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({ws}) >= {k} THEN "
+        f"list_transform(range(1, len({ws}) - {k - 2}), i -> {join}) "
+        f"ELSE [] END"
+    )
+
+
+def _dd_perms(n: int = 32) -> str:
+    return "[" + ", ".join(f"[{a}::BIGINT, {b}::BIGINT]" for a, b in MINHASH_PERMS[:n]) + "]"
+
+
+def _dd_dot(a: str, b: str, dims: int = 64) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dims + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, v) -> acc + v)"
+    )
+
+
+_DD_NORM_KEY = (
+    "lower(split_part(replace(trim(regexp_replace(regexp_replace({name}, "
+    r"'[^a-zA-Z0-9 .]', '', 'g'), '\s+', ' ', 'g')), ' ', ''), '.', 1))"
+)
+
+_DD_INCOMING_NAME = (
+    "CASE c_custkey % 4 WHEN 0 THEN c_name WHEN 1 THEN c_name || '.example' "
+    "WHEN 2 THEN upper(c_name) || '!!!' ELSE c_name || ' Holdings' END"
+)
+
+_DD_CONVALUE_RAW = (
+    "CASE c_custkey % 5 "
+    "WHEN 0 THEN (c_custkey % 97) || 'k' "
+    "WHEN 1 THEN (c_custkey % 97) || '.' || (c_custkey % 10) || 'm' "
+    "WHEN 2 THEN ((c_custkey * 37) % 100000)::VARCHAR "
+    "WHEN 3 THEN 'n/a' "
+    "ELSE ((c_custkey % 9) + 1) || ',' || lpad(((c_custkey * 7) % 1000)::VARCHAR, 3, '0') END"
+)
+
+_DD_GEO_BASE = """
+SELECT 'co' || (c_custkey % 40) AS url,
+       CASE c_custkey % 5
+         WHEN 0 THEN n_name
+         WHEN 1 THEN 'Greater ' || n_name || ' Metropolitan Area'
+         WHEN 2 THEN n_name || ', Region ' || (c_custkey % 3)
+         WHEN 3 THEN n_name || ' Area'
+         ELSE 'Nowhere ' || c_custkey END AS location,
+       (c_custkey % 23) + 1 AS cnt,
+       CASE WHEN c_custkey % 5 = 4 THEN NULL ELSE n_nationkey END AS mk
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ws = _dd_words()
+    sh = _dd_shingles("ws")
+    stop_in = {
+        lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
+        for lang, words in STOPWORDS.items()
+    }
+    sql: dict[str, str] = {}
+
+    sql["politeness_schedule"] = """
+WITH f AS (
+  SELECT o_orderkey AS ok, o_orderkey % 12 AS j,
+         'h' || (o_orderkey % 12) || '.example' AS host,
+         CASE WHEN o_orderkey % 10 = 0 THEN '/private/o/' || o_orderkey
+              ELSE '/o/' || o_orderkey END AS path
+  FROM orders WHERE o_orderkey % 17 <> 0),
+elig AS (
+  SELECT ok, j, host, 'https://' || host || path AS url FROM f
+  WHERE NOT (j % 2 = 0 AND path LIKE '/private/%')),
+ranked AS (
+  SELECT url, host, j, row_number() OVER (PARTITION BY host ORDER BY ok) AS host_seq
+  FROM elig)
+SELECT url, host, host_seq::BIGINT AS host_seq,
+       TIMESTAMP '2025-08-01 00:00:00' + INTERVAL (j) MINUTE
+         + INTERVAL ((host_seq - 1) * (CASE WHEN j % 4 = 0 THEN 3000 ELSE 1000 + 250 * j END)) MILLISECOND
+         AS scheduled_ts,
+       (CASE WHEN j % 4 = 0 THEN 3000 ELSE 1000 + 250 * j END)::BIGINT AS delay_ms
+FROM ranked WHERE host_seq <= 4
+"""
+
+    sql["bloom_seen_dedup"] = """
+SELECT 'https://h' || (o_orderkey % 12) || '.example/o/' || o_orderkey AS url,
+       'h' || (o_orderkey % 12) || '.example' AS host
+FROM orders WHERE o_orderkey % 3 <> 0
+"""
+
+    sql["robots_gate"] = """
+SELECT doc_id, 'rh' || (doc_id % 6) || '.example' AS host,
+       CASE doc_id % 4 WHEN 0 THEN '/private/x/' || doc_id
+                       WHEN 1 THEN '/tmp/y/' || doc_id
+                       WHEN 2 THEN '/pub/' || doc_id
+                       ELSE '/' END AS path,
+       CASE WHEN (doc_id % 6) % 2 = 0
+            THEN NOT (doc_id % 4 = 0 OR doc_id % 4 = 1)
+            ELSE TRUE END AS allowed
+FROM documents
+"""
+
+    sql["canonicalize_urls"] = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'HTTPS://HOST' || (doc_id % 9) || '.EXAMPLE/p/' || doc_id
+         WHEN 1 THEN 'https://host' || (doc_id % 9) || '.example/p/' || doc_id || '#sec'
+         WHEN 2 THEN 'https://host' || (doc_id % 9) || '.example:443/p/' || doc_id
+         WHEN 3 THEN 'https://host' || (doc_id % 9) || '.example/p/' || doc_id || '?b=2&a=1'
+         ELSE 'https://host' || (doc_id % 9) || '.example/p/' || doc_id || '/' END AS raw_url,
+       'https://host' || (doc_id % 9) || '.example/p/' || doc_id
+         || CASE WHEN doc_id % 5 = 3 THEN '?a=1&b=2' ELSE '' END AS canon_url
+FROM documents
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["region_rollup"] = """
+SELECT r_name, count(*)::BIGINT AS n_customers,
+       sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS total_acctbal,
+       sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    sql["top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank::BIGINT AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+    sql["share_threshold"] = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         sum(l_quantity) OVER (PARTITION BY l_orderkey) AS total
+  FROM lineitem) WHERE l_quantity >= greatest(1.0, total * 0.05)
+"""
+
+    nk = _DD_NORM_KEY.format(name=_DD_INCOMING_NAME)
+    crm_nk = _DD_NORM_KEY.format(name="c_name")
+    sql["unmatched_companies"] = f"""
+WITH inc AS (
+  SELECT c_custkey, {_DD_INCOMING_NAME} AS raw_name, {nk} AS norm_key
+  FROM customer WHERE c_custkey % 2 = 0),
+crm AS (SELECT {crm_nk} AS norm_key FROM customer WHERE c_custkey % 3 = 0)
+SELECT norm_key, c_custkey, raw_name FROM inc
+WHERE norm_key NOT IN (SELECT norm_key FROM crm)
+"""
+    sql["matched_companies"] = f"""
+WITH inc AS (
+  SELECT c_custkey, {_DD_INCOMING_NAME} AS raw_name, {nk} AS norm_key
+  FROM customer WHERE c_custkey % 2 = 0),
+crm AS (SELECT {crm_nk} AS norm_key FROM customer WHERE c_custkey % 3 = 0)
+SELECT norm_key, c_custkey, raw_name FROM inc
+WHERE norm_key IN (SELECT norm_key FROM crm)
+"""
+
+    sql["latest_event_per_user"] = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+    sql["event_type_counts"] = (
+        "SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type"
+    )
+
+    sql["running_avg"] = """
+SELECT user_id, event_id,
+       sum(value::DECIMAL(18,2)) OVER w::DOUBLE
+         / row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+    sql["event_histogram"] = """
+WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2)
+SELECT user_id,
+       string_agg(event_type || ' (' || n || ')', ', ' ORDER BY n DESC, event_type ASC) AS hist
+FROM c GROUP BY user_id
+"""
+
+    sql["distinct_event_types"] = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
+FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY user_id
+"""
+
+    sql["event_props_filter"] = """
+SELECT event_id, event_type, json_extract_string(props, '$.k')::BIGINT AS props_k
+FROM events
+WHERE json_extract_string(props, '$.k')::BIGINT % 2 = 0 AND value > 100.0
+"""
+
+    sql["convalue"] = f"""
+SELECT c_custkey, {_DD_CONVALUE_RAW} AS raw,
+       (CASE c_custkey % 5
+         WHEN 0 THEN (c_custkey % 97) * 1000
+         WHEN 1 THEN trunc(try_cast((c_custkey % 97) || '.' || (c_custkey % 10) AS DOUBLE) * 1000000)::BIGINT
+         WHEN 2 THEN (c_custkey * 37) % 100000
+         WHEN 3 THEN 0
+         ELSE ((c_custkey % 9) + 1) * 1000 + (c_custkey * 7) % 1000 END)::BIGINT AS value
+FROM customer
+"""
+
+    sql["clean_ratings"] = """
+SELECT event_id,
+       CASE WHEN (value % 7) BETWEEN 0 AND 5 THEN value % 7 END AS rating
+FROM events
+"""
+
+    sql["url_kernels"] = """
+SELECT doc_id,
+       'https://WWW.Site' || (doc_id % 20) || '.Example.com/co/EI_IE' || doc_id || '.htm?ref=' || source AS raw_url,
+       'site' || (doc_id % 20) || '.example.com' AS domain,
+       'https://www.site' || (doc_id % 20) || '.example.com' AS site_root,
+       doc_id::VARCHAR AS gd_id,
+       regexp_replace('https://WWW.Site' || (doc_id % 20) || '.Example.com/co/EI_IE' || doc_id || '.htm?ref=' || source,
+                      '[^\\w\\-_.]', '_', 'g') AS fname
+FROM documents
+"""
+
+    sql["geo_categorize"] = f"""
+WITH base AS ({_DD_GEO_BASE}),
+facts AS (
+  SELECT url, location, sum(cnt)::BIGINT AS cnt, min(mk) AS mk
+  FROM base GROUP BY url, location),
+kept AS (
+  SELECT * FROM (
+    SELECT f.*, sum(cnt) OVER (PARTITION BY url) AS total FROM facts f)
+  WHERE cnt >= greatest(1.0, total * 0.05)),
+m AS (
+  SELECT url, location, cnt, mk,
+         CASE WHEN mk IS NULL THEN NULL ELSE 'rec' || lpad(mk::VARCHAR, 2, '0') END AS rec,
+         CASE WHEN mk IS NULL THEN NULL
+              WHEN mk = 24 THEN 'country, us_city'
+              WHEN mk % 5 = 4 THEN 'us_city'
+              ELSE 'country' END AS ltype,
+         CASE WHEN mk IS NOT NULL AND mk < 5 THEN TRUE END AS is_hq
+  FROM kept)
+SELECT url,
+       coalesce(sum(cnt) FILTER (WHERE is_hq), 0)::BIGINT AS hq_ee_count,
+       coalesce(sum(cnt) FILTER (WHERE ltype LIKE '%us_city%' OR lower(location) = 'united states'), 0)::BIGINT AS us_ee_count,
+       coalesce(string_agg(location || ' (' || cnt || ')', ', '
+                ORDER BY cnt DESC, location ASC)
+                FILTER (WHERE ltype LIKE '%us_city%' AND NOT coalesce(is_hq, FALSE)), '') AS other_us_cities,
+       coalesce(string_agg(location || ' (' || cnt || ')', ', '
+                ORDER BY cnt DESC, location ASC)
+                FILTER (WHERE ltype LIKE '%country%' AND ltype NOT LIKE '%us_city%'
+                        AND lower(location) <> 'united states'), '') AS other_countries,
+       coalesce(string_agg(DISTINCT rec, ',' ORDER BY rec), '') AS matched_record_ids,
+       sum(cnt)::BIGINT AS total_ee_count
+FROM m GROUP BY url
+"""
+
+    sql["exact_dedup"] = """
+SELECT min(doc_id)::BIGINT AS canonical_id, count(*)::BIGINT AS n_copies,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS member_ids
+FROM documents GROUP BY text
+"""
+
+    sql["minhash_lsh_pairs"] = f"""
+WITH w AS (SELECT doc_id, {ws} AS ws FROM documents),
+sg AS (SELECT doc_id, {sh} AS sg FROM w),
+hs AS (SELECT doc_id, list_transform(sg, s -> {_dd_poly('s')}) AS hv FROM sg),
+sig AS (SELECT doc_id, list_transform({_dd_perms()}, p ->
+          list_min(list_transform(hv, h -> (p[1] * h + p[2]) % {_MOD}))) AS sig FROM hs),
+banded AS (
+  SELECT doc_id, t.b AS band,
+         list_reduce(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+                     (acc, v) -> (acc * 131 + v) % {_MOD}) AS key
+  FROM sig, range(0, 8) t(b))
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+"""
+
+    sql["ngram_jaccard"] = f"""
+WITH w AS (SELECT doc_id, {ws} AS ws FROM documents),
+sg AS (SELECT doc_id, {sh} AS sg FROM w),
+hs AS (SELECT doc_id, list_distinct(list_transform(sg, s -> {_dd_poly('s')})) AS hv FROM sg),
+ex AS (SELECT doc_id, len(hv) AS n_sh, unnest(hv) AS h FROM hs),
+inter AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.n_sh AS n_a, c.n_sh AS n_b,
+         count(*) AS n_inter
+  FROM ex a JOIN ex c ON a.h = c.h AND a.doc_id < c.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, n_inter / (n_a + n_b - n_inter) AS jaccard
+FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= 0.1
+"""
+
+    sql["simhash_pairs"] = f"""
+WITH w AS (SELECT doc_id, {ws} AS ws FROM documents),
+wh AS (SELECT doc_id, list_transform(ws, s -> {_dd_poly('s')}) AS hv FROM w),
+sh AS (SELECT doc_id,
+  list_reduce(list_prepend(0::BIGINT, list_reverse(
+    list_transform(range(0, 30), b ->
+      list_reduce(list_prepend(0::BIGINT, hv),
+        (acc, h) -> acc + CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END)))),
+    (acc, v) -> acc * 2 + CASE WHEN v > 0 THEN 1 ELSE 0 END) AS simhash
+  FROM wh),
+banded AS (
+  SELECT doc_id, simhash, t.b AS band,
+         (simhash // (1::BIGINT << (t.b * 10))) % (1::BIGINT << 10) AS key
+  FROM sh, range(0, 3) t(b)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         bit_count(xor(a.simhash, c.simhash))::BIGINT AS hamming
+  FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+    dot_eq = _dd_dot("e.embedding", "q.qv")
+    n_e = _dd_dot("e.embedding", "e.embedding")
+    n_q = _dd_dot("q.qv", "q.qv")
+    sql["cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({dot_eq} / (sqrt({n_e}) * sqrt({n_q})), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+    dims = [0, 7, 14, 21, 28, 35, 42, 49]
+    bucket = " || ".join(
+        f"CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END" for d in dims
+    )
+    dot_ab = _dd_dot("a.embedding", "c.embedding")
+    n_a = _dd_dot("a.embedding", "a.embedding")
+    n_c = _dd_dot("c.embedding", "c.embedding")
+    sql["embedding_near_pairs"] = f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         round({dot_ab} / (sqrt({n_a}) * sqrt({n_c})), 6) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+WHERE cosine >= 0.3
+"""
+
+    hits = {
+        lang: f"len(list_filter({ws}, w -> w IN {stop_in[lang]}))" for lang in STOPWORDS
+    }
+    sql["lang_id"] = f"""
+WITH h AS (
+  SELECT doc_id, lang, {hits['en']} AS he, {hits['de']} AS hd, {hits['fr']} AS hf
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN greatest(he, hd, hf) <= 0 THEN 'und'
+            WHEN he = greatest(he, hd, hf) THEN 'en'
+            WHEN hd = greatest(he, hd, hf) THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM h
+"""
+
+    sql["quality_features"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         (CASE WHEN trim(text) = '' THEN 0 ELSE len({ws}) END)::BIGINT AS n_tokens,
+         {hits['en']} AS he,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         len(list_distinct({ws})) AS n_distinct
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         round(CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens END, 4) AS mean_word_len,
+         round(CASE WHEN n_tokens > 0 THEN he::DOUBLE / n_tokens END, 4) AS stopword_ratio,
+         round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars END, 4) AS punct_ratio,
+         round(CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens END, 4) AS distinct_word_ratio
+  FROM f)
+SELECT *, round((
+    (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +
+    (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) +
+    (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
+    (CASE WHEN distinct_word_ratio >= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality_score
+FROM r
+"""
+
+    sql["token_counts"] = rf"""
+SELECT doc_id,
+       (CASE WHEN trim(text) = '' THEN 0 ELSE len({ws}) END)::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+    sql["fingerprint"] = f"""
+SELECT doc_id,
+       list_reduce(list_transform({ws}, s -> {_dd_poly('s')}),
+                   (acc, h) -> (acc * 131 + h) % {_MOD}) AS fp
+FROM documents
+"""
+
+    return sql

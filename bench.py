@@ -1,0 +1,85 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (full plan executes,
+nothing materializes on the driver). Scaling-efficiency evidence
+(local[8] vs local[32]) lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from webscraper_spark.session import get_spark
+
+HEADLINE = [
+    # crawl engine
+    "crawl_round",
+    "politeness_schedule",
+    "bloom_seen_dedup",
+    "robots_gate",
+    "canonicalize_urls",
+    # relational core
+    "pricing_summary",
+    "region_rollup",
+    "top_orders_per_customer",
+    "share_threshold",
+    "unmatched_companies",
+    # event analytics
+    "latest_event_per_user",
+    "running_avg",
+    "event_histogram",
+    # geo categorization
+    "geo_categorize",
+    # dedup + similarity + text analysis
+    "exact_dedup",
+    "simhash_pairs",
+    "cosine_topk",
+    "quality_features",
+    "lang_id",
+    "fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="webscraper_spark_bench", cores=cpus)
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
