@@ -499,6 +499,100 @@ def q_url_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_dereference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: FK-dereference join done set-at-a-time (the reference's N+1
+    per-row GET becomes one equi-join)."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return (
+        o.filter(F.col("o_totalprice") > 400000.0)
+        .join(c, o.o_custkey == c.c_custkey, "left")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+def q_tag_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7: broadcast substring theta-join — tag records probed by
+    containment against location-ish strings (reference's
+    ``expected_name in loc_name_lower``)."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    locs = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        F.concat(F.lit("Greater "), F.col("n_name"), F.lit(" Area")).alias("loc_name"),
+    )
+    tags = F.broadcast(
+        n.filter(F.col("n_nationkey") % 4 == 0).select(
+            F.col("n_name").alias("expected"),
+            F.concat(F.lit("tag"), _s(F.col("n_nationkey"))).alias("tag"),
+        )
+    )
+    return locs.join(
+        tags, F.expr("instr(lower(loc_name), lower(expected)) > 0"), "left"
+    ).select("c_custkey", "loc_name", "tag")
+
+
+def q_scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F11/F12/F13/F14 + P5 + O2: count-parse regexes, query-string
+    encoding, tagged-pair round trip, numeric-validity filter, truncate,
+    and the reference's lexicographic-reverse sort quirk."""
+    from webscraper_spark.functions.textfns import (
+        decode_tagged_col,
+        encode_tagged_col,
+        int_with_commas_col,
+        parse_count_col,
+        truncate_text_col,
+    )
+
+    e = _read(spark, sf_dir, "events")
+    k = F.col("event_id")
+    blurb = F.concat(
+        F.lit("("), _s(k % 977), F.lit(" total reviews) and "),
+        _s(k % 9), F.lit(","), F.lpad(_s((k * 3) % 1000), 3, "0"), F.lit(" followers"),
+    )
+    tagged = encode_tagged_col(F.concat(F.lit("rec"), _s(k % 50)), F.col("event_type"))
+    rec_id, tag = decode_tagged_col(tagged)
+    # P5 numeric-validity: rows whose id-ish string fails the long cast drop
+    idish = F.concat(_s(k), F.when(k % 7 == 0, F.lit("x")).otherwise(F.lit("")))
+    base = (
+        e.filter((k % 3 == 0) & idish.try_cast("long").isNotNull())
+        .select(
+            k.alias("event_id"),
+            F.col("event_type"),
+            blurb.alias("blurb"),
+            parse_count_col(blurb, r"\((\d+)\s+total\s+reviews?\)").alias("n_reviews"),
+            int_with_commas_col(
+                F.regexp_extract(blurb, r"([\d,]+)\s*followers", 1)
+            ).alias("n_followers"),
+            F.url_encode(F.concat(F.lit('site:example.com "'), F.col("event_type"), F.lit('"'))).alias("q_enc"),
+            rec_id.alias("rec_id"),
+            tag.alias("tag"),
+            truncate_text_col(F.repeat(F.col("event_type"), 40), 100).alias("trunc"),
+            (k % 7).alias("qn"),
+        )
+    )
+    # O2 quirk: the reference sorts "Name (n)" STRINGS reverse-lexicographically
+    quirk = F.array_join(
+        F.sort_array(
+            F.collect_list(F.concat(F.col("event_type"), F.lit(" ("), _s(F.col("qn")), F.lit(")"))),
+            asc=False,
+        ),
+        ", ",
+    )
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_reviews").alias("max_reviews"),
+        F.max("n_followers").alias("max_followers"),
+        F.max("q_enc").alias("q_enc"),
+        F.max("rec_id").alias("max_rec"),
+        F.max("tag").alias("tag"),
+        F.max(F.length("trunc")).alias("trunc_len"),
+        quirk.alias("quirk_sorted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # geo categorization (the reference's analytics tail)
 # ---------------------------------------------------------------------------
@@ -680,6 +774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convalue": q_convalue,
         "clean_ratings": q_clean_ratings,
         "url_kernels": q_url_kernels,
+        "scalar_misc": q_scalar_misc,
+        # joins
+        "fk_dereference": q_fk_dereference,
+        "tag_theta_join": q_tag_theta_join,
         # geo categorization
         "geo_categorize": q_geo_categorize,
         # dedup + similarity
@@ -948,6 +1046,50 @@ SELECT doc_id,
        regexp_replace('https://WWW.Site' || (doc_id % 20) || '.Example.com/co/EI_IE' || doc_id || '.htm?ref=' || source,
                       '[^\\w\\-_.]', '_', 'g') AS fname
 FROM documents
+"""
+
+    sql["fk_dereference"] = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000.0
+"""
+
+    sql["tag_theta_join"] = """
+WITH locs AS (
+  SELECT c_custkey, 'Greater ' || n_name || ' Area' AS loc_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+tags AS (
+  SELECT n_name AS expected, 'tag' || n_nationkey AS tag
+  FROM nation WHERE n_nationkey % 4 = 0)
+SELECT c_custkey, loc_name, tag
+FROM locs LEFT JOIN tags ON instr(lower(loc_name), lower(expected)) > 0
+"""
+
+    sql["scalar_misc"] = """
+WITH base AS (
+  SELECT event_id AS k, event_type FROM events
+  WHERE event_id % 3 = 0 AND event_id % 7 <> 0),
+d AS (
+  SELECT event_type,
+         (k % 977)::BIGINT AS n_reviews,
+         ((k % 9) * 1000 + (k * 3) % 1000)::BIGINT AS n_followers,
+         replace(replace(replace('site:example.com "' || event_type || '"',
+                 ' ', '+'), ':', '%3A'), '"', '%22') AS q_enc,
+         'rec' || (k % 50) AS rec_id,
+         event_type AS tag,
+         (CASE WHEN length(event_type) * 40 > 100 THEN 103
+               ELSE length(event_type) * 40 END)::BIGINT AS trunc_len_row,
+         event_type || ' (' || (k % 7) || ')' AS quirk_s
+  FROM base)
+SELECT event_type, count(*)::BIGINT AS n,
+       max(n_reviews) AS max_reviews,
+       max(n_followers) AS max_followers,
+       max(q_enc) AS q_enc,
+       max(rec_id) AS max_rec,
+       max(tag) AS tag,
+       max(trunc_len_row) AS trunc_len,
+       string_agg(quirk_s, ', ' ORDER BY quirk_s DESC) AS quirk_sorted
+FROM d GROUP BY event_type
 """
 
     sql["geo_categorize"] = f"""

@@ -122,7 +122,9 @@ def run_round(
     fetched_join = scheduled.join(page_cols, on=["url_hash", "url"], how="left")
 
     hits = fetched_join.filter(F.col("html").isNotNull())
-    misses = fetched_join.filter(F.col("html").isNull())
+    # misses carry no html (left-join nulls) — tiny; persisting avoids
+    # re-running the fetch join for the retry/metrics/write consumers
+    misses = fetched_join.filter(F.col("html").isNull()).persist()
 
     # 3. extraction (one Arrow batch at a time)
     extracted = hits.withColumn("ex", extract_udf("html")).select(
@@ -246,6 +248,7 @@ def run_round(
     )
 
     # 8. durable writes, then the atomic commit
+    metrics = metrics.persist()
     new_hosts = advance_host_clocks(hosts, scheduled, round_start_ts=start_ts)
     store.write("fetched", fetched_rows, round_no)
     store.write(
@@ -255,16 +258,24 @@ def run_round(
     store.write("hosts", new_hosts, round_no)
     store.write("metrics", metrics, round_no)
 
+    # lineage = one aggregation over the (persisted) metrics table instead
+    # of four separate count() jobs
+    agg = metrics.agg(
+        F.sum("scheduled").alias("s"), F.sum("fetched").alias("f"),
+        F.sum("missed").alias("m"), F.sum("new_urls").alias("n"),
+    ).first()
     lineage = {
-        "scheduled": scheduled.count(),
-        "fetched": hits.count(),
-        "missed": misses.count(),
-        "new_urls": new_urls.count(),
+        "scheduled": int(agg["s"] or 0),
+        "fetched": int(agg["f"] or 0),
+        "missed": int(agg["m"] or 0),
+        "new_urls": int(agg["n"] or 0),
     }
     store.commit_round(round_no, lineage=lineage)
     scheduled.unpersist()
     extracted.unpersist()
     new_urls.unpersist()
+    misses.unpersist()
+    metrics.unpersist()
     return lineage
 
 

@@ -57,6 +57,7 @@ def gen_corpus(
     noise_frac: float = 0.10,
     private_frac: float = 0.08,
     feature_every: int = 7,
+    seed_frac: float | None = None,
 ) -> dict[str, pd.DataFrame]:
     """Generate ``pages``, ``seeds``, ``hosts`` pandas DataFrames."""
     rng = np.random.default_rng(seed)
@@ -171,7 +172,9 @@ def gen_corpus(
     pages["warc_ts"] = pd.to_datetime(pages["warc_ts"]).astype("datetime64[us]")
 
     # seeds: deterministic subset of known urls + a few unknown (miss path)
-    n_seeds = max(4, n_urls // 100)
+    n_seeds = (
+        max(4, int(n_urls * seed_frac)) if seed_frac is not None else max(4, n_urls // 100)
+    )
     seed_ids = rng.choice(n_urls, size=n_seeds, replace=False)
     seed_rows = [
         {
@@ -228,4 +231,8 @@ def write_corpus(corpus: dict[str, pd.DataFrame], out_dir: str) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     for name, df in corpus.items():
-        df.to_parquet(os.path.join(out_dir, f"{name}.parquet"), index=False)
+        # small row groups keep the scan splittable (a single row group is
+        # one unsplittable input partition — serializes the first UDF stage)
+        df.to_parquet(
+            os.path.join(out_dir, f"{name}.parquet"), index=False, row_group_size=8192
+        )
