@@ -638,6 +638,61 @@ def q_geo_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: CRM upsert as a set-at-a-time MERGE (anti-join + union) —
+    replaces the reference's per-row lookup-then-PATCH-else-POST loop."""
+    from webscraper_spark.sources.tables import merge_upsert
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    target = c.filter(k % 3 == 0).select("c_custkey", "c_name", "c_acctbal")
+    updates = c.filter(k % 2 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(" (upd)")).alias("c_name"),
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+    )
+    return merge_upsert(target, updates, ["c_custkey"])
+
+
+def q_extract_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2/H3: field extraction with the reference's fallback-ladder
+    semantics, oracle-checked — html is constructed so the expected
+    rating/review/engaged values are computable independently:
+
+      i%5=0  <span class="rating">d.d</span>  → class ladder rung
+      i%5=1  bare <span>3.8</span>            → span fallback rung
+      i%5=2  text mentions "2.5 stars"        → text-decimal rung
+      i%5=3  class rung 'N/A', span '9.9'     → matches then clamps → null
+      i%5=4  no rating anywhere               → null
+    """
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    r_str = F.concat(F.floor((i % 60) / 10).cast("string"), F.lit("."), _s(i % 10))
+    rating_part = (
+        F.when(i % 5 == 0, F.concat(F.lit('<span class="rating">'), r_str, F.lit("</span>")))
+        .when(i % 5 == 1, F.lit("<span>3.8</span>"))
+        .when(i % 5 == 2, F.lit("<p>about 2.5 stars overall</p>"))
+        .when(i % 5 == 3, F.lit('<span class="rating">N/A</span><span>9.9</span>'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Co "), _s(i), F.lit("</title></head><body>"),
+        rating_part,
+        F.lit("<p>("), _s(i % 3000 + 1), F.lit(" total reviews)</p>"),
+        F.when(i % 4 == 0, F.lit("<p>Engaged Employer</p>")).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    out = d.select(i.alias("doc_id"), F.encode(html, "utf-8").alias("html"))
+    ex = out.withColumn("ex", extract_udf("html"))
+    return ex.select(
+        "doc_id",
+        F.col("ex.title").alias("title"),
+        F.col("ex.rating").alias("rating"),
+        F.col("ex.review_count").cast("long").alias("review_count"),
+        F.col("ex.engaged").alias("engaged"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family + similarity search (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -778,6 +833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins
         "fk_dereference": q_fk_dereference,
         "tag_theta_join": q_tag_theta_join,
+        # sinks / extraction
+        "merge_upsert": q_merge_upsert,
+        "extract_ladder": q_extract_ladder,
         # geo categorization
         "geo_categorize": q_geo_categorize,
         # dedup + similarity
@@ -1090,6 +1148,29 @@ SELECT event_type, count(*)::BIGINT AS n,
        max(trunc_len_row) AS trunc_len,
        string_agg(quirk_s, ', ' ORDER BY quirk_s DESC) AS quirk_sorted
 FROM d GROUP BY event_type
+"""
+
+    sql["merge_upsert"] = """
+WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+u AS (SELECT c_custkey, c_name || ' (upd)' AS c_name, c_acctbal + 1000.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0)
+SELECT * FROM u
+UNION ALL
+SELECT * FROM t WHERE c_custkey NOT IN (SELECT c_custkey FROM u)
+"""
+
+    sql["extract_ladder"] = """
+SELECT doc_id,
+       'Co ' || doc_id AS title,
+       CASE doc_id % 5
+         WHEN 0 THEN CASE WHEN (doc_id % 60) // 10 + (doc_id % 10) / 10.0 <= 5.0
+                          THEN (doc_id % 60) // 10 + (doc_id % 10) / 10.0 END
+         WHEN 1 THEN 3.8
+         WHEN 2 THEN 2.5
+         ELSE NULL END AS rating,
+       (doc_id % 3000 + 1)::BIGINT AS review_count,
+       doc_id % 4 = 0 AS engaged
+FROM documents
 """
 
     sql["geo_categorize"] = f"""
