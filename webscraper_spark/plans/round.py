@@ -54,9 +54,15 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
     """Canonicalize the pages table and keep the newest capture per url
     (C10 newest-wins). Done once per corpus, reused across rounds —
     at cluster scale this is the materialized, url_hash-bucketed form of
-    the raw WARC-derived table."""
+    the raw WARC-derived table.
+
+    The result is hash-partitioned on ``url_hash`` so every round's fetch
+    join is map-side on the pages side: the html payload (by far the
+    widest column) never crosses a shuffle again — only the (narrow)
+    scheduled frontier shuffles to meet it."""
     canon = with_canonical(pages)
-    return dedup_latest(canon, ["url_hash"], "warc_ts")
+    deduped = dedup_latest(canon, ["url_hash"], "warc_ts")
+    return deduped.repartition("url_hash")
 
 
 def init_crawl(
@@ -114,12 +120,25 @@ def run_round(
         frontier, hosts, per_host_budget, round_start_ts=start_ts, n_salt=n_salt
     ).persist()
 
-    # 2. "fetch" = equi-join against the pages table on (url_hash, url) —
-    # the url equality guards against 64-bit hash collisions at 10^10 keys.
+    # 2. "fetch" = equi-join against the pages table on url_hash ALONE so
+    # the join co-partitions with pages_latest's url_hash partitioning
+    # (html never re-shuffles; only the narrow scheduled side moves).
+    # pages_latest is unique per url_hash (newest-wins dedup), so the join
+    # yields at most one match; the post-join url equality demotes 64-bit
+    # hash collisions (possible at 10^10 keys) to misses instead of
+    # fetching the wrong page.
     page_cols = pages_latest.select(
-        F.col("url_hash"), F.col("url"), F.col("warc_ts"), F.col("html"), F.col("lang")
+        F.col("url_hash"), F.col("url").alias("__page_url"),
+        F.col("warc_ts"), F.col("html"), F.col("lang"),
     )
-    fetched_join = scheduled.join(page_cols, on=["url_hash", "url"], how="left")
+    fetched_join = (
+        scheduled.join(page_cols, on="url_hash", how="left")
+        .withColumn(
+            "html",
+            F.when(F.col("__page_url") == F.col("url"), F.col("html")),
+        )
+        .drop("__page_url")
+    )
 
     hits = fetched_join.filter(F.col("html").isNotNull())
     # misses carry no html (left-join nulls) — tiny; persisting avoids
