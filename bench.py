@@ -54,6 +54,18 @@ def main() -> None:
     spark = get_spark(app_name="webscraper_spark_bench", cores=cpus)
     qs = entrymod.queries()
 
+    # warm up the JVM + Arrow python worker pool so the first timed query
+    # doesn't absorb ~6s of one-time spin-up
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(1000).select(_warm(F.col("id"))).write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

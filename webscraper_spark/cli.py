@@ -1,0 +1,134 @@
+"""User-facing CLI — the engine's equivalent of the reference's entry
+points, one subcommand per workflow:
+
+- ``crawl``   — EP1/EP2/EP3's fetch loops (``Main_Runner.py:29-45``,
+  ``Glassdoor_url_finder.py`` → ``Glassdoor_Scraper_New.py``,
+  ``LinkedIn-Updated-Script.py:1814-1852``): run N politeness-scheduled
+  rounds over a pages table, resumable from the store.
+- ``match``   — ``crunchbase_matching.py:92-108``: normalized-key
+  anti/semi-join partition of an incoming CSV against a CRM CSV.
+- ``report``  — the reference's run summaries / progress logs
+  (``Glassdoor_url_finder.py:354-366``): per-round lineage + metrics.
+
+Run locally as ``python -m webscraper_spark.cli ...`` or on a cluster via
+``spark-submit --py-files webscraper_spark.zip`` (see tools/submit.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app_name=f"webscraper_spark_{args.cmd}", cores=args.cores)
+
+
+def cmd_crawl(args) -> int:
+    from .plans.round import run_crawl
+    from .sources.tables import TableStore
+
+    spark = _spark(args)
+    pages = spark.read.parquet(args.pages)
+    seeds = (
+        spark.read.parquet(args.seeds)
+        if args.seeds.endswith(".parquet") or "parquet" in args.seeds
+        else spark.read.csv(args.seeds, header=True)
+    )
+    hosts = spark.read.parquet(args.hosts)
+    store = TableStore(spark, args.store)
+    lineages = run_crawl(
+        store, pages, seeds, hosts,
+        n_rounds=args.rounds, per_host_budget=args.budget,
+        use_bloom=not args.no_bloom,
+    )
+    for i, l in enumerate(lineages, start=store.last_committed_round() - len(lineages) + 1):
+        print(json.dumps({"round": i, **l}))
+    return 0
+
+
+def cmd_match(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .functions.textfns import normalize_string_udf
+
+    spark = _spark(args)
+    incoming = spark.read.csv(args.incoming, header=True)
+    crm = spark.read.csv(args.crm, header=True)
+    inc = incoming.withColumn("__norm", normalize_string_udf(F.col(args.key)))
+    crm_keys = crm.select(normalize_string_udf(F.col(args.crm_key or args.key)).alias("__norm"))
+    unmatched = inc.join(crm_keys, on="__norm", how="left_anti").drop("__norm")
+    matched = inc.join(crm_keys, on="__norm", how="left_semi").drop("__norm")
+    unmatched.coalesce(1).write.mode("overwrite").csv(args.out_unmatched, header=True)
+    matched.coalesce(1).write.mode("overwrite").csv(args.out_matched, header=True)
+    print(json.dumps({"matched": matched.count(), "unmatched": unmatched.count()}))
+    return 0
+
+
+def cmd_report(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .sources.tables import TableStore
+
+    spark = _spark(args)
+    store = TableStore(spark, args.store)
+    last = store.last_committed_round()
+    if last is None:
+        print(json.dumps({"error": "store has no committed rounds"}))
+        return 1
+    manifest = store.read_manifest()
+    metrics = store.read_delta("metrics", up_to=last)
+    per_round = (
+        metrics.groupBy("round")
+        .agg(
+            F.sum("scheduled").alias("scheduled"),
+            F.sum("fetched").alias("fetched"),
+            F.sum("missed").alias("missed"),
+            F.sum("new_urls").alias("new_urls"),
+            F.sum("bytes_html").alias("bytes_html"),
+        )
+        .orderBy("round")
+    )
+    for r in per_round.collect():
+        print(json.dumps(r.asDict()))
+    print(json.dumps({"committed_rounds": manifest["committed_rounds"]}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="webscraper_spark")
+    ap.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run politeness-scheduled crawl rounds")
+    c.add_argument("--pages", required=True)
+    c.add_argument("--seeds", required=True)
+    c.add_argument("--hosts", required=True)
+    c.add_argument("--store", required=True)
+    c.add_argument("--rounds", type=int, default=1)
+    c.add_argument("--budget", type=int, default=5)
+    c.add_argument("--no-bloom", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    m = sub.add_parser("match", help="normalized-key matched/unmatched partition")
+    m.add_argument("--incoming", required=True)
+    m.add_argument("--crm", required=True)
+    m.add_argument("--key", required=True, help="incoming name column")
+    m.add_argument("--crm-key", default=None, help="crm name column (default: --key)")
+    m.add_argument("--out-matched", required=True)
+    m.add_argument("--out-unmatched", required=True)
+    m.set_defaults(fn=cmd_match)
+
+    r = sub.add_parser("report", help="per-round lineage/metrics summary")
+    r.add_argument("--store", required=True)
+    r.set_defaults(fn=cmd_report)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

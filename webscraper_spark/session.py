@@ -27,9 +27,17 @@ def get_spark(
     ``SPARK_GRAFT_CPUS`` or all cores). On a real cluster these builder
     calls are replaced by spark-submit confs; everything else is identical.
     """
-    if cores is None:
-        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    # under spark-submit the master comes from the submit command; only
+    # synthesize local[N] when none was provided (plain `python` runs)
+    from pyspark import SparkConf
+
+    submitted_master = SparkConf().get("spark.master", None)
+    if cores is None and submitted_master:
+        master = None
+    else:
+        if cores is None:
+            cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cores}]"
     if shuffle_partitions is None:
         try:
             shuffle_partitions = max(int(cores) , 8)
@@ -37,7 +45,7 @@ def get_spark(
             shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
 
     builder = (
-        SparkSession.builder.master(master)
+        (SparkSession.builder.master(master) if master else SparkSession.builder)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
