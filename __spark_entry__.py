@@ -735,6 +735,18 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(e, min_cosine=0.3)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (the ANN scale path: probe nprobe
+    centroid buckets instead of scanning the corpus)."""
+    from webscraper_spark.operators.similarity import ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8)
+    q = e.filter(F.col("vec_id") % 125 == 0)
+    out = ivf_topk(e, q, cent, k=10, nprobe=2)
+    return out.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # text-analysis operators (training-data curation)
 # ---------------------------------------------------------------------------
@@ -845,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "ivf_topk": q_ivf_topk,
         # text analysis
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
@@ -1290,6 +1303,33 @@ SELECT id_a, id_b, cosine FROM (
          round({dot_ab} / (sqrt({n_a}) * sqrt({n_c})), 6) AS cosine
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
 WHERE cosine >= 0.3
+"""
+
+    def _cos(a: str, b: str) -> str:
+        return f"round({_dd_dot(a, b)} / (sqrt({_dd_dot(a, a)}) * sqrt({_dd_dot(b, b)})), 6)"
+
+    sql["ivf_topk"] = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.centroid_id ASC) AS rn
+    FROM embeddings e, cent c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 125 = 0),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos('q.qv', 'c.cvec')} DESC, c.centroid_id ASC) AS rn
+    FROM q, cent c) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id, {_cos('a.embedding', 'p.qv')} AS cosine
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
 """
 
     hits = {

@@ -175,3 +175,33 @@ def test_embedding_near_pairs_verified_cosine(spark, embs):
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert r["cosine"] == pytest.approx(want, abs=1e-5)
         assert r["cosine"] >= 0.5
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """nprobe = n_centroids degenerates IVF to the exact brute-force scan."""
+    from pyspark.sql import functions as F
+
+    from webscraper_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = e.filter(F.col("vec_id") < 6)
+    q = e.filter(F.col("vec_id") % 17 == 0)
+    exact = cosine_topk(e, q, k=5)
+    ivf = ivf_topk(e, q, cent, k=5, nprobe=6)
+    a = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
+    b = {(r.query_id, r.vec_id, r.rank) for r in ivf.collect()}
+    assert a == b
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe=2 of 6 buckets keeps reasonable recall on clustered data."""
+    from pyspark.sql import functions as F
+
+    from webscraper_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = e.filter(F.col("vec_id") < 6)
+    q = e.filter(F.col("vec_id") % 17 == 0)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(e, q, k=5).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in ivf_topk(e, q, cent, k=5, nprobe=2).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.4
