@@ -191,6 +191,106 @@ class BloomSeenSet:
         return _probe
 
 
+class CuckooSeenSet:
+    """Sharded cuckoo-filter seen-set — the deletion-capable fast path
+    used when forced re-crawl invalidations exist (Bloom cannot delete).
+
+    Build is cogrouped per shard: insert every discovered key, then
+    *delete* keys whose latest deletion round is >= their latest
+    discovery round (re-discovery after deletion restores membership).
+    Same layered-probe contract as :class:`BloomSeenSet`: no false
+    negatives (property of cuckoo deletes only removing known keys),
+    false positives resolved by the exact anti-join."""
+
+    def __init__(self, shards: dict[int, CuckooFilter], n_shards: int):
+        self.shards = shards
+        self.n_shards = n_shards
+
+    @classmethod
+    def build(
+        cls,
+        seen: DataFrame,
+        deletes: DataFrame | None = None,
+        key_col: str = "url_hash",
+        round_col: str = "discovered_round",
+        n_shards: int = 32,
+    ) -> "CuckooSeenSet":
+        spark = seen.sparkSession
+        shard = F.pmod(F.col(key_col), F.lit(n_shards)).cast("int").alias("__shard")
+        s = seen.select(F.col(key_col), F.col(round_col).alias("__disc"), shard)
+        if deletes is None:
+            d = spark.createDataFrame(
+                [], schema=T.StructType([
+                    T.StructField(key_col, T.LongType()),
+                    T.StructField("__del", T.IntegerType()),
+                    T.StructField("__shard", T.IntegerType()),
+                ])
+            )
+        else:
+            d = deletes.select(
+                F.col(key_col),
+                F.col("deleted_round").cast("int").alias("__del"),
+                shard,
+            )
+
+        def _build(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            sh = int(key[0])
+            if len(left):
+                disc = left.groupby(key_col)["__disc"].max()
+            else:
+                disc = pd.Series(dtype="int64")
+            cf = CuckooFilter(capacity=max(16, len(disc)))
+            for k in disc.index:
+                cf.insert(int(k))
+            if len(right):
+                dele = right.groupby(key_col)["__del"].max()
+                for k, dr in dele.items():
+                    if k in disc.index and int(disc.loc[k]) < int(dr):
+                        cf.delete(int(k))
+            return pd.DataFrame(
+                [{"shard": sh, "bits": cf.to_bytes(), "n_buckets": cf.n_buckets}]
+            )
+
+        rows = (
+            s.groupBy("__shard")
+            .cogroup(d.groupBy("__shard"))
+            .applyInPandas(
+                _build,
+                schema="shard int, bits binary, n_buckets int",
+            )
+            .collect()
+        )
+        shards = {
+            r["shard"]: CuckooFilter.from_bytes(r["bits"], r["n_buckets"]) for r in rows
+        }
+        return cls(shards, n_shards)
+
+    def might_contain_udf(self, spark):
+        bc = spark.sparkContext.broadcast(
+            {s: (cf.to_bytes(), cf.n_buckets) for s, cf in self.shards.items()}
+        )
+        n_shards = self.n_shards
+
+        @F.pandas_udf(T.BooleanType())
+        def _probe(keys: pd.Series) -> pd.Series:
+            arr = keys.to_numpy(dtype=np.int64)
+            shard = np.mod(arr, n_shards)
+            out = np.zeros(len(arr), dtype=bool)
+            local: dict[int, CuckooFilter] = {}
+            for s in np.unique(shard):
+                packed = bc.value.get(int(s))
+                if packed is None:
+                    continue
+                if int(s) not in local:
+                    local[int(s)] = CuckooFilter.from_bytes(*packed)
+                cf = local[int(s)]
+                mask = shard == s
+                out[mask] = [cf.contains(int(k)) for k in arr[mask]]
+            return pd.Series(out)
+
+        return _probe
+
+
 # --------------------------------------------------------------------------
 # Exact joins + the layered probe
 # --------------------------------------------------------------------------

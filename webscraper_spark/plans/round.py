@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 
 from ..functions.canon import canonicalize_href_udf, with_canonical
 from ..functions.extract import extract_udf
-from ..operators.dedup import BloomSeenSet, anti_join_seen, bloom_filtered_new, dedup_latest
+from ..operators.dedup import (
+    BloomSeenSet,
+    CuckooSeenSet,
+    anti_join_seen,
+    bloom_filtered_new,
+    dedup_latest,
+)
 from ..operators.schedule import advance_host_clocks, schedule_round
 from ..schemas import FETCHED, FRONTIER, SEEN
 from ..sources.tables import TableStore
@@ -103,15 +109,55 @@ def run_round(
     use_bloom: bool = True,
     n_salt: int = 16,
     bloom_shards: int = 32,
+    recrawl: DataFrame | None = None,
 ) -> dict:
     """Execute round ``round_no`` (requires round ``round_no - 1``
-    committed). Returns the round's lineage counts."""
+    committed). Returns the round's lineage counts.
+
+    ``recrawl``: optional DataFrame with a ``url`` column — forced
+    re-crawl invalidations. Those urls are deleted from the effective
+    seen-set (recorded in the ``seen_deletes`` delta), re-enqueued at top
+    priority, and re-added to ``seen`` as discovered this round. With
+    deletions present the fast membership path switches from Bloom to the
+    deletion-capable cuckoo filters.
+    """
     prev = round_no - 1
     frontier = store.read_snapshot("frontier", up_to=prev)
     hosts = store.read_snapshot("hosts", up_to=prev)
     seen = store.read_delta("seen", up_to=prev)
     if frontier is None or hosts is None or seen is None:
         raise ValueError(f"round {prev} not committed; cannot run round {round_no}")
+
+    # historical forced-recrawl deletions: a key is un-seen when its last
+    # deletion is newer than its last (re-)discovery
+    deletes = store.read_delta("seen_deletes", up_to=prev)
+    if deletes is not None:
+        dmax = deletes.groupBy("url_hash").agg(F.max("deleted_round").alias("__dr"))
+        seen_eff = (
+            seen.join(dmax, on="url_hash", how="left")
+            .filter(F.col("__dr").isNull() | (F.col("discovered_round") >= F.col("__dr")))
+            .drop("__dr")
+        )
+    else:
+        seen_eff = seen
+
+    recrawl_rows = None
+    if recrawl is not None:
+        recrawl_rows = (
+            with_canonical(recrawl.select("url"))
+            .dropDuplicates(["url_hash"])
+            .select(
+                "url_hash", "url", "host",
+                F.lit(0).alias("priority"),  # recrawls jump the queue
+                F.lit(round_no).alias("discovered_round"),
+                F.lit(0).alias("retry_count"),
+                F.lit(None).cast("timestamp").alias("next_fetch_ts"),
+            )
+            .persist()
+        )
+        frontier = frontier.join(
+            recrawl_rows.select("url_hash"), on="url_hash", how="left_anti"
+        ).unionByName(recrawl_rows)
 
     start_ts = round_clock(round_no)
 
@@ -174,10 +220,34 @@ def run_round(
         .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
         .withColumn("url_hash", F.xxhash64(F.col("url")))
     )
-    bloom = None
+    # admission membership = effective seen (post-deletions) plus this
+    # round's recrawl keys (they are re-added below, so candidates must
+    # not re-admit them)
+    seen_admit = seen_eff.select("url_hash")
+    if recrawl_rows is not None:
+        seen_admit = seen_admit.unionByName(recrawl_rows.select("url_hash"))
+    fast = None
     if use_bloom:
-        bloom = BloomSeenSet.build(seen, n_shards=bloom_shards)
-    new_urls = bloom_filtered_new(candidates, seen, bloom).select(
+        if deletes is not None or recrawl_rows is not None:
+            # deletions in play → deletion-capable cuckoo filters; this
+            # round's recrawl keys are inserted driver-side (they must
+            # still read as "seen" for admission — re-added below)
+            from ..operators.dedup import CuckooFilter
+
+            cuckoo = CuckooSeenSet.build(seen, deletes, n_shards=bloom_shards)
+            ok = True
+            if recrawl_rows is not None:
+                for r in recrawl_rows.select("url_hash").collect():
+                    k = int(r["url_hash"])
+                    sh = k % bloom_shards
+                    cf = cuckoo.shards.setdefault(sh, CuckooFilter(capacity=64))
+                    if not cf.insert(k):
+                        ok = False  # shard full → exact-only path
+                        break
+            fast = cuckoo if ok else None
+        else:
+            fast = BloomSeenSet.build(seen_admit, n_shards=bloom_shards)
+    new_urls = bloom_filtered_new(candidates, seen_admit, fast).select(
         "url_hash",
         "url",
         "host",
@@ -270,9 +340,19 @@ def run_round(
     metrics = metrics.persist()
     new_hosts = advance_host_clocks(hosts, scheduled, round_start_ts=start_ts)
     store.write("fetched", fetched_rows, round_no)
-    store.write(
-        "seen", new_urls.select("url_hash", "url", "host", "discovered_round"), round_no
-    )
+    seen_add = new_urls.select("url_hash", "url", "host", "discovered_round")
+    if recrawl_rows is not None:
+        seen_add = seen_add.unionByName(
+            recrawl_rows.select("url_hash", "url", "host", "discovered_round")
+        )
+        store.write(
+            "seen_deletes",
+            recrawl_rows.select(
+                "url_hash", F.lit(round_no).alias("deleted_round")
+            ),
+            round_no,
+        )
+    store.write("seen", seen_add, round_no)
     store.write("frontier", next_frontier, round_no)
     store.write("hosts", new_hosts, round_no)
     store.write("metrics", metrics, round_no)
@@ -289,12 +369,16 @@ def run_round(
         "missed": int(agg["m"] or 0),
         "new_urls": int(agg["n"] or 0),
     }
+    if recrawl_rows is not None:
+        lineage["recrawled"] = recrawl_rows.count()
     store.commit_round(round_no, lineage=lineage)
     scheduled.unpersist()
     extracted.unpersist()
     new_urls.unpersist()
     misses.unpersist()
     metrics.unpersist()
+    if recrawl_rows is not None:
+        recrawl_rows.unpersist()
     return lineage
 
 
