@@ -144,7 +144,7 @@ def _crawl_round(spark: SparkSession, sf_dir: str, budget: int = 3) -> DataFrame
     pages, frontier, hosts = _derived_corpus(spark, sf_dir)
     seen = frontier.select("url_hash")
     scheduled = schedule_round(
-        frontier, hosts, per_host_budget=budget, round_start_ts=ROUND_START, n_salt=4
+        frontier, hosts, per_host_budget=budget, round_start_ts=ROUND_START
     )
     hits = scheduled.join(
         pages.select("url_hash", "url", "warc_ts", "html"), on=["url_hash", "url"]
@@ -227,7 +227,7 @@ def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_add("MINUTE", j.cast("int"), F.lit(ROUND_START)).alias("next_allowed_ts"),
     )
     out = schedule_round(frontier, hosts, per_host_budget=4,
-                         round_start_ts=ROUND_START, n_salt=4)
+                         round_start_ts=ROUND_START)
     return out.select(
         "url", "host", F.col("host_seq").cast("long").alias("host_seq"),
         "scheduled_ts", F.col("delay_ms").cast("long").alias("delay_ms"),
@@ -331,7 +331,7 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = topk_per_group(
         o, ["o_custkey"],
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
-        k=3, rank_col="rank", n_salt=4,
+        k=3, rank_col="rank",
     )
     return out.select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank"))
 
@@ -450,6 +450,40 @@ def q_event_props_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("props_k", k)
         .filter((F.col("props_k") % 2 == 0) & (F.col("value") > 100.0))
         .select("event_id", "event_type", "props_k")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): per user, a >30-min silence
+    starts a new session — the batch twin of streaming session windows.
+    Two analytic windows, no self-join."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))  # session tz = UTC
+    gap = ts_us - F.lag(ts_us).over(w)
+    flagged = e.withColumn(
+        "__new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the engine's metrics
+    rollup uses approx variants at scale; exact here for the oracle)."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
 
 
@@ -837,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_histogram": q_event_histogram,
         "distinct_event_types": q_distinct_event_types,
         "event_props_filter": q_event_props_filter,
+        "sessionize": q_sessionize,
+        "value_percentiles": q_value_percentiles,
         # scalar kernels
         "convalue": q_convalue,
         "clean_ratings": q_clean_ratings,
@@ -1089,6 +1125,33 @@ FROM (SELECT DISTINCT user_id, event_type FROM events) GROUP BY user_id
 SELECT event_id, event_type, json_extract_string(props, '$.k')::BIGINT AS props_k
 FROM events
 WHERE json_extract_string(props, '$.k')::BIGINT % 2 = 0 AND value > 100.0
+"""
+
+    sql["sessionize"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM o)
+SELECT user_id, session_no::BIGINT AS session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events,
+       sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+FROM s GROUP BY user_id, session_no
+"""
+
+    sql["value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
 """
 
     sql["convalue"] = f"""

@@ -18,9 +18,10 @@ by ``admitted_count * crawl_delay`` at commit, so consecutive scheduled
 fetches on one host are always ≥ crawl_delay apart — across rounds too
 (property-tested politeness invariant, SURVEY §5.2.4).
 
-Skew: ranking is computed via the two-phase salted top-k
-(:mod:`.topk`), so a Zipf-head host cannot serialize a whole round into
-one task while per-host order stays byte-identical to the unsalted plan.
+Skew: the budget filter compiles to Catalyst's WindowGroupLimit (map-side
+per-host top-k before the shuffle), so a Zipf-head host cannot serialize
+a round into one task; :mod:`.topk` keeps an explicit salted two-phase
+variant for engines without that rule (byte-identical per-host order).
 """
 
 from __future__ import annotations
@@ -55,7 +56,7 @@ def schedule_round(
     hosts: DataFrame,
     per_host_budget: int,
     round_start_ts=None,
-    n_salt: int = 16,
+    n_salt: int = 1,
     broadcast_hosts: bool = True,
 ) -> DataFrame:
     """Admit + order + timestamp this round's fetches.

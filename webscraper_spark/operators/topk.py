@@ -1,19 +1,21 @@
-"""Skew-aware per-group top-k (W1/W3/O3 budget filtering).
+"""Skew-safe per-group top-k (W1/W3/O3 budget filtering).
 
-A plain ``row_number().over(Window.partitionBy(host))`` serializes each
-host into one task — a hot host (Zipf head) becomes the round's straggler
-at 10^10 scale. Since the scheduler only ever keeps ``k`` rows per host,
-we prune in two phases:
+A naive ``row_number().over(Window.partitionBy(host))`` would serialize
+each host into one task — a hot host (Zipf head) becomes the round's
+straggler at 10^10 scale. On Spark 3.5+/4.x Catalyst already solves this:
+a ``row_number() <= k`` filter plants ``WindowGroupLimit Partial`` BEFORE
+the shuffle, so every input partition forwards at most k rows per group
+and the post-shuffle sort per host is tiny — verified in this repo's
+plans (``WindowGroupLimit ... Partial`` under the Exchange) and measured
+flat across 50%→93% hot-host skew at 15M rows.
 
-  phase 1: rank within (host, salt) sub-groups — parallelism ×``n_salt``
-           for every host, keep local top-k;
-  phase 2: re-rank the surviving ≤ k·n_salt rows per host — tiny.
-
-The salt shards only the *pruning computation*; the final per-host rank
-(= the politeness sequence number) is computed over the pruned set and is
-identical to the unsalted result (SURVEY §7.4: salting must never change
-the per-host fetch order). Phase 2's window sees ≤ k·n_salt rows per
-host, so no task can be large regardless of input skew.
+So the DEFAULT here is the plain declarative rank-filter: it is the
+skew-mitigated plan *and* has one fewer shuffle than manual salting.
+``n_salt > 1`` keeps the explicit two-phase variant — rank within
+(group, salt) sub-groups, keep local top-k, re-rank the ≤ k·n_salt
+survivors — for engines/versions without WindowGroupLimit; it produces
+byte-identical ranks (property: salting shards only the pruning
+computation, never the final per-group order).
 """
 
 from __future__ import annotations
@@ -29,12 +31,12 @@ def topk_per_group(
     order_cols: list[Column],
     k: int,
     rank_col: str = "rank",
-    n_salt: int = 16,
+    n_salt: int = 1,
 ) -> DataFrame:
-    """Deterministic top-k per group with two-phase skew salting.
-
-    ``order_cols`` must be a total order within each group (include a
-    unique tie-breaker like ``url_hash``) or ranks are nondeterministic.
+    """Deterministic top-k per group (skew-safe via WindowGroupLimit; see
+    module docstring). ``order_cols`` must be a total order within each
+    group (include a unique tie-breaker like ``url_hash``) or ranks are
+    nondeterministic.
     """
     if n_salt > 1:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in group_cols], F.monotonically_increasing_id()), F.lit(n_salt))

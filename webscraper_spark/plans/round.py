@@ -107,7 +107,7 @@ def run_round(
     per_host_budget: int = 5,
     max_retries: int = 2,
     use_bloom: bool = True,
-    n_salt: int = 16,
+    n_salt: int = 1,
     bloom_shards: int = 32,
     recrawl: DataFrame | None = None,
 ) -> dict:
