@@ -88,3 +88,94 @@ def test_streaming_host_metrics_window_counts(spark, corpus, staged_pages, tmp_p
     mismatches = j.filter(F.col("got_captures") != F.col("captures")).count()
     assert mismatches == 0
     assert got.count() > 0
+
+
+def test_stateful_politeness_clock_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-host clocks persist across micro-batches
+    (two availableNow runs over a growing source, shared checkpoint)."""
+    from datetime import datetime
+
+    from webscraper_spark.streaming.politeness import CANDIDATE, streaming_politeness
+
+    src = str(tmp_path / "cand_src")
+    out = str(tmp_path / "sched_out")
+    ckpt = str(tmp_path / "ckpt_pol")
+    floor = datetime(2025, 8, 1)
+
+    def rows(lo, hi):
+        return [
+            ("h1.example", f"https://h1.example/p/{i}", i * 7 + 1, i, 1000, floor)
+            for i in range(lo, hi)
+        ]
+
+    def run_wave(lo, hi):
+        spark.createDataFrame(rows(lo, hi), schema=CANDIDATE).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(CANDIDATE).parquet(src)
+        q = (
+            streaming_politeness(stream)
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_wave(0, 3)
+    run_wave(3, 6)
+
+    got = sorted(
+        (r.host_seq, r.scheduled_ts) for r in spark.read.parquet(out).collect()
+    )
+    # sequence numbers continue 1..6 across batches
+    assert [s for s, _ in got] == [1, 2, 3, 4, 5, 6]
+    # consecutive scheduled fetches on the host are >= 1000ms apart,
+    # INCLUDING across the batch boundary (state carried the clock)
+    for (s1, t1), (s2, t2) in zip(got, got[1:]):
+        assert (t2 - t1).total_seconds() >= 1.0
+
+
+def test_stateful_politeness_matches_batch_scheduler(spark, tmp_path):
+    """A stream fed one round of candidates reproduces the batch W1
+    schedule exactly (same order, same timestamps)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from webscraper_spark.operators.schedule import schedule_round
+    from webscraper_spark.streaming.politeness import CANDIDATE, streaming_politeness
+
+    floor = datetime(2025, 8, 1)
+    cand = [
+        (f"h{i % 3}.example", f"https://h{i % 3}.example/p/{i}", i * 13 + 5, i % 4, 2000, floor)
+        for i in range(24)
+    ]
+    # batch side
+    frontier = spark.createDataFrame(
+        [(c[2], c[1], c[0], c[3], 0, 0, None) for c in cand],
+        "url_hash long, url string, host string, priority int, discovered_round int, retry_count int, next_fetch_ts timestamp",
+    )
+    hosts = spark.createDataFrame(
+        [(f"h{j}.example", None, 2000, floor) for j in range(3)],
+        "host string, robots_txt string, crawl_delay_ms long, next_allowed_ts timestamp",
+    )
+    batch = schedule_round(frontier, hosts, per_host_budget=100, round_start_ts=floor)
+    batch_rows = {
+        (r.host, r.url): (r.host_seq, r.scheduled_ts) for r in batch.collect()
+    }
+    # streaming side
+    src = str(tmp_path / "cand_src2")
+    out = str(tmp_path / "sched_out2")
+    ckpt = str(tmp_path / "ckpt_pol2")
+    spark.createDataFrame(cand, schema=CANDIDATE).write.parquet(src)
+    q = (
+        streaming_politeness(spark.readStream.schema(CANDIDATE).parquet(src))
+        .writeStream.outputMode("append").format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    stream_rows = {
+        (r.host, r.url): (r.host_seq, r.scheduled_ts)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert stream_rows == batch_rows
