@@ -746,6 +746,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(d, n_hashes=32, k=3, bands=8)
 
 
+def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash path: Arrow-vectorized signature kernel (numpy
+    broadcast over blake2b shingle hashes; ~5× the SQL-expression path,
+    which Catalyst interprets per lambda). Same banded-join plan —
+    rows-only check; the algorithm is certified by the portable oracle
+    twin plus the planted-near-dup recall test."""
+    from webscraper_spark.operators.similarity import lsh_candidate_pairs_pandas
+
+    d = _read(spark, sf_dir, "documents")
+    return lsh_candidate_pairs_pandas(d, n_hashes=32, k=3, bands=8)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, k=3, min_jaccard=0.1)
@@ -754,6 +766,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     out = simhash_near_pairs(d, bits=30, bands=3, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash path (Arrow kernel; rows-only — algorithm
+    certified by the portable oracle twin + planted-near-dup recall)."""
+    from webscraper_spark.operators.similarity import simhash_near_pairs_fast
+
+    d = _read(spark, sf_dir, "documents")
+    out = simhash_near_pairs_fast(d, bits=30, bands=3, max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -889,8 +911,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup + similarity
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_fast": q_minhash_lsh_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_fast": q_simhash_fast,
         "cosine_topk": q_cosine_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "ivf_topk": q_ivf_topk,

@@ -16,8 +16,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
 import __spark_entry__ as entrymod
 from webscraper_spark.session import get_spark
+
+
+@F.pandas_udf(T.LongType())
+def _warm(x: pd.Series) -> pd.Series:
+    return x
 
 HEADLINE = [
     # crawl engine
@@ -36,12 +45,19 @@ HEADLINE = [
     "latest_event_per_user",
     "running_avg",
     "event_histogram",
+    "sessionize",
+    "value_percentiles",
     # geo categorization
     "geo_categorize",
+    # sinks / extraction
+    "merge_upsert",
+    "extract_ladder",
     # dedup + similarity + text analysis
     "exact_dedup",
-    "simhash_pairs",
+    "minhash_lsh_fast",
+    "simhash_fast",
     "cosine_topk",
+    "ivf_topk",
     "quality_features",
     "lang_id",
     "fingerprint",
@@ -56,14 +72,6 @@ def main() -> None:
 
     # warm up the JVM + Arrow python worker pool so the first timed query
     # doesn't absorb ~6s of one-time spin-up
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.LongType())
-    def _warm(x: pd.Series) -> pd.Series:
-        return x
-
     spark.range(1000).select(_warm(F.col("id"))).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}

@@ -205,3 +205,52 @@ def test_ivf_partial_probe_recall(spark):
     exact = {(r.query_id, r.vec_id) for r in cosine_topk(e, q, k=5).collect()}
     ivf = {(r.query_id, r.vec_id) for r in ivf_topk(e, q, cent, k=5, nprobe=2).collect()}
     assert len(ivf & exact) / len(exact) >= 0.4
+
+
+def test_lsh_fast_path_finds_planted_near_dups(spark):
+    """The xxhash64 fast path (non-oracle) must recall planted near-dups
+    exactly like the portable path does — same algorithm, faster hash."""
+    from pyspark.sql import functions as F
+
+    from webscraper_spark.operators.similarity import lsh_candidate_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant near-duplicates: copy each doc with one appended token
+    dups = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    planted = {(int(r.doc_id), int(r.doc_id) + 100000) for r in docs.select("doc_id").collect()}
+    from webscraper_spark.operators.similarity import lsh_candidate_pairs_pandas
+
+    variants = {
+        "portable": lambda c: lsh_candidate_pairs(c, portable=True),
+        "xxhash": lambda c: lsh_candidate_pairs(c, portable=False),
+        "pandas": lambda c: lsh_candidate_pairs_pandas(c),
+    }
+    for name, fn in variants.items():
+        pairs = {(r.id_a, r.id_b) for r in fn(corpus).collect()}
+        missing = planted - pairs
+        assert not missing, f"{name} missed {len(missing)} planted pairs"
+
+
+def test_simhash_fast_finds_planted_near_dups(spark):
+    from pyspark.sql import functions as F
+
+    from webscraper_spark.operators.similarity import (
+        simhash_near_pairs,
+        simhash_near_pairs_fast,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dups = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    planted = {(int(r.doc_id), int(r.doc_id) + 100000) for r in docs.select("doc_id").collect()}
+    for name, fn in {"expr": simhash_near_pairs, "fast": simhash_near_pairs_fast}.items():
+        pairs = {(r.id_a, r.id_b) for r in fn(corpus, max_hamming=6).collect()}
+        recall = len(planted & pairs) / len(planted)
+        assert recall >= 0.9, f"{name}: recall {recall}"

@@ -24,7 +24,7 @@ candidate rows on host (the same shuffle the batch window needs).
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import datetime
 
 import pandas as pd
 from pyspark.sql import DataFrame
