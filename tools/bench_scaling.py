@@ -33,10 +33,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_URLS = 1_200_000
+N_URLS = 2_400_000
 N_HOSTS = 2_000
 ROUNDS = 1
-BUDGET = 600
+BUDGET = 1200
 
 
 def _corpus_dfs(spark, n_urls: int = N_URLS, n_hosts: int = N_HOSTS):
