@@ -311,6 +311,22 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set ROLLUP (absent in the reference; free via Catalyst):
+    revenue subtotals at (flag, status), (flag), and grand-total levels."""
+    li = _read(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(ep).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "revenue", "n",
+        )
+    )
+
+
 def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: broadcast dimension joins + rollup."""
     c = _read(spark, sf_dir, "customer")
@@ -882,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational core
         "pricing_summary": q_pricing_summary,
         "region_rollup": q_region_rollup,
+        "rollup_revenue": q_rollup_revenue,
         "top_orders_per_customer": q_top_orders_per_customer,
         "share_threshold": q_share_threshold,
         "unmatched_companies": q_unmatched_companies,
@@ -1079,6 +1096,14 @@ SELECT r_name, count(*)::BIGINT AS n_customers,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+"""
+
+    sql["rollup_revenue"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
     sql["top_orders_per_customer"] = """
