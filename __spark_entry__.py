@@ -165,11 +165,13 @@ def _crawl_round(spark: SparkSession, sf_dir: str, budget: int = 3) -> DataFrame
         .withColumn("url_hash", F.xxhash64("url"))
     )
     new_urls = anti_join_seen(links, seen)
-    n_new = new_urls.count()
-    return extracted.select(
+    # discovery total rides as an aggregated broadcast column so the whole
+    # round is ONE job (no driver-side count action)
+    totals = F.broadcast(new_urls.agg(F.count("*").alias("new_urls_total")))
+    return extracted.crossJoin(totals).select(
         "url", "host", "host_seq", "scheduled_ts", "title",
         F.size("outlinks").cast("long").alias("n_outlinks"),
-        F.lit(int(n_new)).cast("long").alias("new_urls_total"),
+        F.col("new_urls_total").cast("long").alias("new_urls_total"),
     )
 
 
