@@ -78,6 +78,13 @@ def _s(c) -> F.Column:
     return F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
 
 
+def _utc(spark: SparkSession) -> None:
+    """Timestamp-producing queries pin the session timezone: the driver's
+    own SparkSession may not be UTC, and TIMESTAMP literals/arithmetic
+    would otherwise render shifted relative to the (naive) DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 ROUND_START = datetime(2025, 8, 1, 0, 0, 0)
 
 
@@ -89,6 +96,7 @@ def _derived_corpus(spark: SparkSession, sf_dir: str):
     """Deterministic Common-Crawl-shaped corpus derived from the driver's
     ``documents`` table: url/host from doc_id, html embeds the text plus
     two outlinks to other rows (closure over the table)."""
+    _utc(spark)
     docs = _read(spark, sf_dir, "documents")
     n = docs.count()
     i = F.col("doc_id")
@@ -205,6 +213,7 @@ def _order_urls(spark, sf_dir, private_paths: bool):
 def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/C4/C5: robots-gated, budgeted, per-host politeness scheduling.
     Priorities are unique per host so the rank order is oracle-computable."""
+    _utc(spark)
     base = _order_urls(spark, sf_dir, private_paths=True)
     frontier = base.select(
         "url_hash", "url", "host",
@@ -475,6 +484,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gaps-and-islands): per user, a >30-min silence
     starts a new session — the batch twin of streaming session windows.
     Two analytic windows, no self-join."""
+    _utc(spark)
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))  # session tz = UTC

@@ -1,0 +1,65 @@
+"""CLI entry points (crawl / match / report) — the reference's EP1–EP3
+user surface."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from webscraper_spark import cli
+from webscraper_spark.synth import gen_corpus, write_corpus
+
+
+@pytest.fixture(scope="module")
+def demo(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_demo")
+    write_corpus(gen_corpus(n_urls=400, n_hosts=8, seed=21), str(d / "corpus"))
+    pd.DataFrame({"Company Name": [f"Acme {i}" for i in range(0, 30, 2)]}).to_csv(
+        d / "crm.csv", index=False
+    )
+    pd.DataFrame(
+        {"Organization Name": [f"ACME {i}!!" for i in range(0, 30, 3)]
+         + [f"Newco {i}" for i in range(4)]}
+    ).to_csv(d / "incoming.csv", index=False)
+    return d
+
+
+def test_cli_crawl_and_report(spark, demo, capsys):
+    store = str(demo / "store")
+    rc = cli.main([
+        "--cores", "8", "crawl",
+        "--pages", str(demo / "corpus" / "pages.parquet"),
+        "--seeds", str(demo / "corpus" / "seeds.parquet"),
+        "--hosts", str(demo / "corpus" / "hosts.parquet"),
+        "--store", store, "--rounds", "2", "--budget", "3",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l["round"] for l in lines] == [1, 2]
+    assert all(l["scheduled"] >= l["fetched"] for l in lines)
+
+    rc = cli.main(["--cores", "8", "report", "--store", store])
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert out[-1]["committed_rounds"] == [0, 1, 2]
+    # report totals equal the crawl lineage
+    per_round = {o["round"]: o for o in out[:-1]}
+    for l in lines:
+        assert per_round[l["round"]]["scheduled"] == l["scheduled"]
+
+
+def test_cli_match_partition(spark, demo, capsys):
+    rc = cli.main([
+        "--cores", "8", "match",
+        "--incoming", str(demo / "incoming.csv"),
+        "--crm", str(demo / "crm.csv"),
+        "--key", "Organization Name", "--crm-key", "Company Name",
+        "--out-matched", str(demo / "m"), "--out-unmatched", str(demo / "u"),
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # incoming = multiples of 3 in [0,30) + 4 Newcos; crm = evens in [0,30)
+    # → matched = multiples of 6 (5 names), unmatched = 5 odd-multiples + 4
+    assert res == {"matched": 5, "unmatched": 9}
