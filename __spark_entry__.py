@@ -835,6 +835,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text-analysis operators (training-data curation)
 # ---------------------------------------------------------------------------
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data curation pass: exact-dedup to the
+    canonical copy, language-ID, quality gate — one declarative plan
+    (what a 100 TB pretraining sweep runs per shard)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    canon = exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
+    kept = d.join(canon, on="doc_id", how="left_semi")
+    scored = quality_features(lang_id(kept)).withColumn(
+        "quality_score", quality_score_col()
+    )
+    return scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.75)
+    ).select("doc_id", "lang_pred", "quality_score", "n_tokens")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return lang_id(d).select("doc_id", "lang", "lang_pred")
@@ -948,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "ivf_topk": q_ivf_topk,
         # text analysis
+        "curation_pipeline": q_curation_pipeline,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
         "token_counts": q_token_counts,
@@ -1493,6 +1509,38 @@ SELECT *, round((
     (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
     (CASE WHEN distinct_word_ratio >= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality_score
 FROM r
+"""
+
+    sql["curation_pipeline"] = f"""
+WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+kept AS (SELECT d.doc_id, d.text FROM documents d JOIN canon USING (doc_id)),
+h AS (
+  SELECT doc_id, text,
+         {hits['en']} AS he, {hits['de']} AS hd, {hits['fr']} AS hf,
+         length(text)::BIGINT AS n_chars,
+         (CASE WHEN trim(text) = '' THEN 0 ELSE len({ws}) END)::BIGINT AS n_tokens,
+         len(list_distinct({ws})) AS n_distinct
+  FROM kept),
+r AS (
+  SELECT doc_id,
+         CASE WHEN greatest(he, hd, hf) <= 0 THEN 'und'
+              WHEN he = greatest(he, hd, hf) THEN 'en'
+              WHEN hd = greatest(he, hd, hf) THEN 'de'
+              ELSE 'fr' END AS lang_pred,
+         n_tokens,
+         round(CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens END, 4) AS mean_word_len,
+         round(CASE WHEN n_tokens > 0 THEN he::DOUBLE / n_tokens END, 4) AS stopword_ratio,
+         round(CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens END, 4) AS distinct_word_ratio
+  FROM h),
+q AS (
+  SELECT doc_id, lang_pred, n_tokens, round((
+      (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +
+      (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) +
+      (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
+      (CASE WHEN distinct_word_ratio >= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality_score
+  FROM r)
+SELECT doc_id, lang_pred, quality_score, n_tokens
+FROM q WHERE lang_pred = 'en' AND quality_score >= 0.75
 """
 
     sql["token_counts"] = rf"""
