@@ -114,3 +114,31 @@ def test_no_bloom_equals_bloom(spark, sdfs, tmp_path_factory, engine_run):
     a = {r["url_hash"] for r in store1.read_delta("seen").collect()}
     b = {r["url_hash"] for r in store2.read_delta("seen").collect()}
     assert a == b
+
+
+def test_two_fresh_crawls_are_byte_identical(spark, sdfs, tmp_path):
+    """Full-run determinism: two independent crawls over the same corpus
+    produce identical fetched/seen/frontier tables (no wall-clock, no RNG
+    anywhere in the engine)."""
+    from pyspark.sql import functions as F
+
+    from webscraper_spark.plans.round import run_crawl
+    from webscraper_spark.sources.tables import TableStore
+
+    stores = []
+    for name in ("a", "b"):
+        store = TableStore(spark, str(tmp_path / name))
+        run_crawl(store, sdfs["pages"], sdfs["seeds"], sdfs["hosts"],
+                  n_rounds=2, per_host_budget=4)
+        stores.append(store)
+
+    for table, cols in [
+        ("fetched", ["url_hash", "round", "host_seq", "scheduled_ts", "text", "fetch_status"]),
+        ("seen", ["url_hash", "discovered_round"]),
+    ]:
+        a = {tuple(r) for r in stores[0].read_delta(table, up_to=2).select(cols).collect()}
+        b = {tuple(r) for r in stores[1].read_delta(table, up_to=2).select(cols).collect()}
+        assert a == b, table
+    fa = {tuple(r) for r in stores[0].read_snapshot("frontier", up_to=2).collect()}
+    fb = {tuple(r) for r in stores[1].read_snapshot("frontier", up_to=2).collect()}
+    assert fa == fb
