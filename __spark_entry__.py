@@ -910,6 +910,26 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media)
 
 
+def q_image_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: perceptual-hash banded Hamming pairs over the
+    binary media column (rows-only; codec stubbed)."""
+    from webscraper_spark.operators.multimodal import encode_fake_image, image_near_pairs
+
+    @F.pandas_udf(T.BinaryType())
+    def _blob(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_fake_image(24, 24, int(i) % 20))
+
+    media = spark.range(40).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        _blob(F.col("id")).alias("blob"),
+        F.lit(24).cast("int").alias("meta_w"),
+        F.lit(24).cast("int").alias("meta_h"),
+    )
+    out = image_near_pairs(media, max_hamming=0)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -970,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         # multimodal (rows-only)
         "image_features": q_image_features,
+        "image_near_pairs": q_image_near_pairs,
     }
 
 

@@ -48,3 +48,31 @@ def test_resize_stub(spark):
     resized = decode_image(bytes(out[0]["blob"]))
     assert resized.shape == (16, 16)
     assert out[20]["blob"] is None  # real format → null passthrough
+
+
+def test_image_near_pairs_finds_planted_duplicates(spark):
+    """Planted near-identical images (same seed, same size) must pair;
+    unrelated seeds must not all collapse into one bucket."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from webscraper_spark.operators.multimodal import (
+        MEDIA,
+        encode_fake_image,
+        image_near_pairs,
+    )
+
+    rows = []
+    for i in range(30):
+        blob = encode_fake_image(24, 24, seed=i % 15)  # i and i+15 identical
+        rows.append((i, "image", blob, 24, 24))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "blob", "meta_w", "meta_h"]),
+        schema=MEDIA,
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_pairs(media, max_hamming=0).collect()}
+    planted = {(i, i + 15) for i in range(15)}
+    assert planted <= set(pairs)
+    assert all(h == 0 for h in pairs.values())
+    # identical-seed pairs only: fewer than all possible pairs matched
+    assert len(pairs) < 30 * 29 // 2

@@ -146,3 +146,36 @@ def resize_stub(media: DataFrame, target: int = 64) -> DataFrame:
     return media.filter("kind = 'image'").select("media_id", "blob").mapInPandas(
         _batches, schema=out_schema
     )
+
+
+def image_near_pairs(
+    media: DataFrame, bits: int = 64, bands: int = 8, max_hamming: int = 6
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the multimodal twin of text SimHash dedup. Banded pigeonhole join on
+    phash slices (any pair within max_hamming < bands shares a band), then
+    exact bit_count verify; no cross join, scales like the text path."""
+    from pyspark.sql import functions as F
+
+    feats = image_features(media).filter(F.col("phash").isNotNull())
+    width = bits // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, "
+        f"'key', (phash div shiftleft(cast(1 as bigint), b * {width})) % "
+        f"shiftleft(cast(1 as bigint), {width})))"
+    )
+    banded = feats.select(
+        "media_id", "phash", F.explode(F.expr(band_expr)).alias("bk")
+    ).select("media_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
