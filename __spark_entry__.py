@@ -755,6 +755,86 @@ def q_extract_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benefits_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 field-for-field: the reference's per-category benefits ladders
+    (Glassdoor_Scraper_New.py:295-478) — hero rating + "(N Reviews)",
+    Health→Dental→Vision, 401K→Pension→Retirement, keyword-parent and
+    first-rating fallbacks, count-scan gated on rating>0, rating 0 ⇒
+    count 0. html is synthesized per doc_id so every rung's expected
+    output is oracle-computable:
+
+      m=0  hero + Health card + 401K card        → all fields direct
+      m=1  Dental card only                      → health via rung 2
+      m=2  Vision + Pension cards                → rung 3 / rung 2
+      m=3  keyword-parent fallback divs          → categorized ratings
+      m=4  bare rating span + "N ratings" text   → first-rating + scan
+      m=5  hero rating 0.0 + reviews             → count zeroed
+      m=6  empty page                            → all null/0
+    """
+    from webscraper_spark.functions.extract import extract_benefits_udf
+
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    m = i % 7
+    r_b = F.concat(_s(i % 4 + 1), F.lit("."), _s(i % 10))     # benefits rating str
+    r_h = F.concat(_s(i % 5), F.lit("."), _s(i % 3))          # health rating str
+    r_r = F.concat(_s(i % 3 + 1), F.lit("."), _s(i % 7))      # retirement rating str
+    c_b = _s(i % 500 + 1)
+    c_h = _s(i % 97 + 1)
+    c_r = _s(i % 89 + 1)
+
+    hero = F.concat(
+        F.lit('<span class="HeroRatingWrapper_benefitsRatingNumber__fqpP8">'),
+        r_b, F.lit('</span><div class="HeroRatingWrapper_benefitsTotalWrapper__li_iK"><p>('),
+        c_b, F.lit(" Reviews)</p></div>"),
+    )
+
+    def card(title, rating, count):
+        return F.concat(
+            F.lit('<div class="benefit-category-card_benefitCategoryCard__VjIA1">'
+                  '<span class="benefit-category-card_title__Nu__H">'),
+            F.lit(title),
+            F.lit('</span><span class="benefit-category-card_ratingNumber__VyQzt">'),
+            rating,
+            F.lit('</span><span class="benefit-category-card_primaryText__YvBX2">'),
+            count, F.lit(" Ratings</span></div>"),
+        )
+
+    body = (
+        F.when(m == 0, F.concat(hero, card("Health Insurance", r_h, c_h),
+                                card("401K Plan", r_r, c_r)))
+        .when(m == 1, card("Dental Insurance", r_h, c_h))
+        .when(m == 2, F.concat(card("Vision Insurance", r_h, c_h),
+                               card("Pension Plan", r_r, c_r)))
+        .when(m == 3, F.concat(
+            F.lit('<div>health coverage <span class="rating">'), r_h,
+            F.lit('</span></div><div>401k match <span class="rating">'), r_r,
+            F.lit('</span></div><div>overall benefit <span class="rating">'), r_b,
+            F.lit("</span></div>")))
+        .when(m == 4, F.concat(
+            F.lit('<span class="rating">'), r_b,
+            F.lit("</span><p>rating summary: "), c_b, F.lit(" ratings</p>")))
+        .when(m == 5, F.concat(
+            F.lit('<span class="HeroRatingWrapper_benefitsRatingNumber__fqpP8">0.0'
+                  '</span><div class="HeroRatingWrapper_benefitsTotalWrapper__li_iK"><p>('),
+            c_b, F.lit(" Reviews)</p></div>")))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+    ex = d.select(i.alias("doc_id"), F.encode(html, "utf-8").alias("html")).withColumn(
+        "b", extract_benefits_udf("html")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("b.benefits_rating").alias("benefits_rating"),
+        F.col("b.health_rating").alias("health_rating"),
+        F.col("b.retirement_rating").alias("retirement_rating"),
+        F.col("b.benefits_review_count").alias("benefits_review_count"),
+        F.col("b.health_review_count").alias("health_review_count"),
+        F.col("b.retirement_review_count").alias("retirement_review_count"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family + similarity search (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -787,8 +867,14 @@ def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard VERIFY step gated by LSH candidates — the production
+    dedup flow (candidate generation via banded MinHash, then exact
+    verification via array_intersect on the candidate pairs only). The
+    ungated shared-shingle self-join is never in this plan, so a hot
+    shingle ("terms of service" in 10^6 docs) cannot go quadratic."""
     d = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, k=3, min_jaccard=0.1)
+    cand = lsh_candidate_pairs(d, n_hashes=32, k=3, bands=8)
+    return ngram_jaccard_pairs(d, k=3, min_jaccard=0.1, candidates=cand)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sinks / extraction
         "merge_upsert": q_merge_upsert,
         "extract_ladder": q_extract_ladder,
+        "benefits_ladder": q_benefits_ladder,
         # geo categorization
         "geo_categorize": q_geo_categorize,
         # dedup + similarity
@@ -1347,6 +1434,31 @@ SELECT doc_id,
 FROM documents
 """
 
+    sql["benefits_ladder"] = """
+WITH b AS (
+  SELECT doc_id, doc_id % 7 AS m,
+    (doc_id % 4 + 1)::VARCHAR || '.' || (doc_id % 10)::VARCHAR AS r_b,
+    (doc_id % 5)::VARCHAR || '.' || (doc_id % 3)::VARCHAR AS r_h,
+    (doc_id % 3 + 1)::VARCHAR || '.' || (doc_id % 7)::VARCHAR AS r_r,
+    (doc_id % 500 + 1)::BIGINT AS c_b,
+    (doc_id % 97 + 1)::BIGINT AS c_h,
+    (doc_id % 89 + 1)::BIGINT AS c_r,
+    (doc_id % 5) * 10 + (doc_id % 3) AS h_num
+  FROM documents)
+SELECT doc_id,
+  CASE m WHEN 0 THEN r_b WHEN 1 THEN r_h WHEN 2 THEN r_h WHEN 3 THEN r_b
+         WHEN 4 THEN r_b WHEN 5 THEN '0.0' END AS benefits_rating,
+  CASE m WHEN 0 THEN r_h WHEN 1 THEN r_h WHEN 2 THEN r_h WHEN 3 THEN r_h END AS health_rating,
+  CASE m WHEN 0 THEN r_r WHEN 2 THEN r_r WHEN 3 THEN r_r END AS retirement_rating,
+  CASE m WHEN 0 THEN c_b
+         WHEN 1 THEN CASE WHEN h_num > 0 THEN c_h ELSE 0 END
+         WHEN 2 THEN CASE WHEN h_num > 0 THEN c_h ELSE 0 END
+         WHEN 4 THEN c_b ELSE 0 END AS benefits_review_count,
+  CASE m WHEN 0 THEN c_h WHEN 1 THEN c_h WHEN 2 THEN c_h ELSE 0 END AS health_review_count,
+  CASE m WHEN 0 THEN c_r WHEN 2 THEN c_r ELSE 0 END AS retirement_review_count
+FROM b
+"""
+
     sql["geo_categorize"] = f"""
 WITH base AS ({_DD_GEO_BASE}),
 facts AS (
@@ -1404,15 +1516,25 @@ FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < 
     sql["ngram_jaccard"] = f"""
 WITH w AS (SELECT doc_id, {ws} AS ws FROM documents),
 sg AS (SELECT doc_id, {sh} AS sg FROM w),
-hs AS (SELECT doc_id, list_distinct(list_transform(sg, s -> {_dd_poly('s')})) AS hv FROM sg),
-ex AS (SELECT doc_id, len(hv) AS n_sh, unnest(hv) AS h FROM hs),
-inter AS (
-  SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.n_sh AS n_a, c.n_sh AS n_b,
-         count(*) AS n_inter
-  FROM ex a JOIN ex c ON a.h = c.h AND a.doc_id < c.doc_id
-  GROUP BY 1, 2, 3, 4)
+hs AS (SELECT doc_id, list_transform(sg, s -> {_dd_poly('s')}) AS hv FROM sg),
+dhs AS (SELECT doc_id, list_distinct(hv) AS dv FROM hs),
+sig AS (SELECT doc_id, list_transform({_dd_perms()}, p ->
+          list_min(list_transform(hv, h -> (p[1] * h + p[2]) % {_MOD}))) AS sig FROM hs),
+banded AS (
+  SELECT doc_id, t.b AS band,
+         list_reduce(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+                     (acc, v) -> (acc * 131 + v) % {_MOD}) AS key
+  FROM sig, range(0, 8) t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         len(list_intersect(x.dv, y.dv)) AS n_inter,
+         len(x.dv) AS n_a, len(y.dv) AS n_b
+  FROM cand JOIN dhs x ON cand.id_a = x.doc_id JOIN dhs y ON cand.id_b = y.doc_id)
 SELECT id_a, id_b, n_inter / (n_a + n_b - n_inter) AS jaccard
-FROM inter WHERE n_inter / (n_a + n_b - n_inter) >= 0.1
+FROM scored WHERE n_inter >= 1 AND n_inter / (n_a + n_b - n_inter) >= 0.1
 """
 
     sql["simhash_pairs"] = f"""

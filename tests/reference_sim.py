@@ -99,7 +99,11 @@ def simulate_crawl(
             items.sort(key=lambda t: (t[0], t[1]))
             hinfo = hosts.get(host)
             delay = hinfo["delay_ms"] if hinfo else DEFAULT_DELAY_MS
+            # clock clamped to the round floor: a host idle for rounds has
+            # a stale clock, and fetches can't be scheduled before the
+            # round starts (same rule as the streaming scheduler)
             clock = hinfo["clock"] if hinfo else start
+            clock = max(clock, start) if clock is not None else start
             for seq, (_, uh, f) in enumerate(items[:per_host_budget], start=1):
                 sched_ts = clock + timedelta(milliseconds=(seq - 1) * delay)
                 scheduled.append((host, seq, uh, f, sched_ts))

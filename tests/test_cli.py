@@ -32,6 +32,7 @@ def test_cli_crawl_and_report(spark, demo, capsys):
         "--cores", "8", "crawl",
         "--pages", str(demo / "corpus" / "pages.parquet"),
         "--seeds", str(demo / "corpus" / "seeds.parquet"),
+        "--seeds-format", "parquet",
         "--hosts", str(demo / "corpus" / "hosts.parquet"),
         "--store", store, "--rounds", "2", "--budget", "3",
     ])

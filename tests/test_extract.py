@@ -72,3 +72,129 @@ def test_error_isolation():
 def test_title():
     h = b"<html><head><title> A  Title </title></head><body>x</body></html>"
     assert extract_fields(h)["title"] == "A Title"
+
+
+# --- H3 benefits ladders (field-for-field goldens vs
+#     Glassdoor_Scraper_New.py:295-478 fallback order) -----------------------
+
+from webscraper_spark.functions.extract import extract_benefits, parse_page
+
+
+def _card(title: str, rating: str, count: str) -> str:
+    return (
+        '<div class="benefit-category-card_benefitCategoryCard__VjIA1">'
+        f'<span class="benefit-category-card_title__Nu__H">{title}</span>'
+        f'<span class="benefit-category-card_ratingNumber__VyQzt">{rating}</span>'
+        f'<span class="benefit-category-card_primaryText__YvBX2">{count} Ratings</span>'
+        "</div>"
+    )
+
+
+def _hero(rating: str, reviews: str) -> str:
+    return (
+        f'<span class="HeroRatingWrapper_benefitsRatingNumber__fqpP8">{rating}</span>'
+        '<div class="HeroRatingWrapper_benefitsTotalWrapper__li_iK">'
+        f"<p>({reviews} Reviews)</p></div>"
+    )
+
+
+def test_benefits_full_page():
+    h = ("<html><body>" + _hero("4.2", "310")
+         + _card("Health Insurance", "4.5", "120")
+         + _card("401K Plan", "3.9", "80") + "</body></html>").encode()
+    b = extract_benefits(h)
+    assert b == {
+        "benefits_rating": "4.2", "health_rating": "4.5",
+        "retirement_rating": "3.9", "benefits_review_count": 310,
+        "health_review_count": 120, "retirement_review_count": 80,
+    }
+
+
+def test_benefits_health_ladder_order():
+    # Health absent → Dental rung; Dental absent → Vision rung
+    h = ("<html><body>" + _card("Dental Insurance", "4.0", "15")
+         + _card("Vision Insurance", "3.0", "9") + "</body></html>").encode()
+    b = extract_benefits(h)
+    assert (b["health_rating"], b["health_review_count"]) == ("4.0", 15)
+    h2 = ("<html><body>" + _card("Vision Insurance", "3.0", "9") + "</body></html>").encode()
+    b2 = extract_benefits(h2)
+    assert (b2["health_rating"], b2["health_review_count"]) == ("3.0", 9)
+
+
+def test_benefits_retirement_ladder_order():
+    h = ("<html><body>" + _card("Pension Plan", "2.5", "4")
+         + _card("Retirement Plan", "2.0", "2") + "</body></html>").encode()
+    b = extract_benefits(h)
+    assert (b["retirement_rating"], b["retirement_review_count"]) == ("2.5", 4)
+
+
+def test_benefits_keyword_parent_fallback():
+    # no hero, no cards: rating-class elems categorized by parent text
+    h = (b"<html><body>"
+         b'<div>health coverage details <span class="rating">4.1</span></div>'
+         b'<div>401k matching <span class="rating">3.2</span></div>'
+         b'<div>overall benefit package <span class="rating">3.7</span></div>'
+         b"</body></html>")
+    b = extract_benefits(h)
+    assert b["health_rating"] == "4.1"
+    assert b["retirement_rating"] == "3.2"
+    assert b["benefits_rating"] == "3.7"
+
+
+def test_benefits_first_rating_fallback_and_count_gate():
+    # no keyword matches → first rating element becomes benefits_rating;
+    # count-scan fallback fires only because rating > 0
+    h = (b"<html><body><span class='rating'>4.8</span>"
+         b"<p>rating summary: 57 ratings</p></body></html>")
+    b = extract_benefits(h)
+    assert b["benefits_rating"] == "4.8"
+    assert b["benefits_review_count"] == 57
+
+
+def test_benefits_zero_rating_zeroes_count():
+    h = ("<html><body>" + _hero("0.0", "44") + "</body></html>").encode()
+    b = extract_benefits(h)
+    assert b["benefits_rating"] == "0.0"
+    assert b["benefits_review_count"] == 0
+
+
+def test_benefits_nonnumeric_rating_passthrough():
+    # the reference stores text verbatim; "N/A" must not crash the gates
+    h = ("<html><body>" + _hero("N/A", "12") + "</body></html>").encode()
+    b = extract_benefits(h)
+    assert b["benefits_rating"] == "N/A"
+    assert b["benefits_review_count"] == 12  # hero count parsed; gates tolerate N/A
+
+
+def test_rating_class_nested_markup_tag_matched():
+    """Regression (round-1 'What's wrong' #4): nested markup inside a
+    rating element no longer truncates its text — elements close on their
+    own end tag."""
+    p = parse_page(b'<div class="rating"><b>4</b>.5</div>')
+    assert p.rating_class_texts == ["4.5"]
+
+
+def test_tree_sibling_and_ancestor_navigation():
+    p = parse_page(
+        b'<div class="benefit-category-card_benefitCategoryCard__x">'
+        b'<span class="benefit-category-card_title__x">401K Plan</span>'
+        b"<span>noise</span>"
+        b'<span class="benefit-category-card_ratingNumber__x">3.3</span></div>'
+    )
+    title = next(
+        n for n in p.root.iter_nodes()
+        if n.tag == "span" and "title" in n.cls
+    )
+    sibs = [s.cls for s in title.following_siblings()]
+    assert len(sibs) == 2  # noise + ratingNumber, in order
+    assert any("ratingNumber" in c for c in sibs)
+    card = next(a for a in title.ancestors() if a.tag == "div")
+    assert "benefitCategoryCard" in card.cls
+
+
+def test_unclosed_tags_recovered():
+    # <p> never closed; </em> stray; parser must not lose text or crash
+    h = b"<html><body><p>first<div>second</div><span>third</em></body></html>"
+    from webscraper_spark.functions.extract import extract_text
+
+    assert extract_text(h) == "first second third"

@@ -76,3 +76,43 @@ def test_image_near_pairs_finds_planted_duplicates(spark):
     assert all(h == 0 for h in pairs.values())
     # identical-seed pairs only: fewer than all possible pairs matched
     assert len(pairs) < 30 * 29 // 2
+
+
+def test_image_near_pairs_negative_phash_hamming_gt0(spark):
+    """Regression: near-but-NOT-identical images whose phash has the sign
+    bit set must still pair. The old div/% banding broke the pigeonhole
+    guarantee for negative (signed) phash values — identical slices hashed
+    to different band keys, so hamming-1 negative-phash pairs matched in
+    NO band and were silently dropped."""
+    import pandas as pd
+
+    from webscraper_spark.operators.multimodal import (
+        FAKE_MAGIC,
+        MEDIA,
+        _phash,
+        decode_image,
+        image_near_pairs,
+    )
+
+    def blob_from_bits(bits):
+        # 8x8 image, pixel = 255 where bit set else 0; with a mixed
+        # pattern the mean sits strictly between, so phash bits == pixels.
+        px = np.where(np.array(bits, dtype=bool), 255, 0).astype(np.uint8)
+        return FAKE_MAGIC + (8).to_bytes(4, "big") + (8).to_bytes(4, "big") + px.tobytes()
+
+    base = [1, 0] * 32  # bit 0 set → phash sign bit set → negative
+    near = list(base)
+    near[37] = 1 - near[37]  # flip one mid bit → hamming 1
+    far = [0, 1] * 32  # complement-ish: far from both
+    a, b, c = blob_from_bits(base), blob_from_bits(near), blob_from_bits(far)
+    assert _phash(decode_image(a)) < 0 and _phash(decode_image(b)) < 0
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "image", a, 8, 8), (1, "image", b, 8, 8), (2, "image", c, 8, 8)],
+            columns=["media_id", "kind", "blob", "meta_w", "meta_h"],
+        ),
+        schema=MEDIA,
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_pairs(media, max_hamming=6).collect()}
+    assert pairs == {(0, 1): 1}

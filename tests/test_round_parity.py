@@ -41,9 +41,24 @@ def sim_run(corpus):
     )
 
 
+_TIMING_KEYS = {"elapsed_sec", "eta_sec"}  # wall-clock, excluded from parity
+
+
 def test_lineage_counts_match(engine_run, sim_run):
     _, lineages = engine_run
-    assert lineages == sim_run["lineages"]
+    counts = [{k: v for k, v in l.items() if k not in _TIMING_KEYS} for l in lineages]
+    assert counts == sim_run["lineages"]
+
+
+def test_round_metrics_have_real_elapsed_and_eta(engine_run):
+    """C9/A5: per-round wall time is measured (not the old 0.0
+    placeholder) and the running-mean ETA is derivable."""
+    store, lineages = engine_run
+    assert all(l["elapsed_sec"] > 0 for l in lineages)
+    assert all(l["eta_sec"] >= 0 for l in lineages)
+    assert lineages[-1]["eta_sec"] == 0  # last round: nothing remaining
+    m = store.read_delta("metrics").select("elapsed_sec").collect()
+    assert m and all(r["elapsed_sec"] > 0 for r in m)
 
 
 def test_seen_membership_identical(engine_run, sim_run):

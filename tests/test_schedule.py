@@ -101,7 +101,10 @@ def test_advance_host_clocks(spark, sdfs):
     for host, ts in after.items():
         if host in counts:
             n, d = counts[host]
-            assert (ts - before[host]).total_seconds() * 1000 == n * d
+            # clamped base: a stale (pre-round) clock advances from the
+            # round floor, matching the streaming scheduler's semantics
+            base = max(before[host], T0) if before[host] is not None else T0
+            assert (ts - base).total_seconds() * 1000 == n * d
         else:
             assert ts == before[host]
 

@@ -115,6 +115,46 @@ def test_ngram_jaccard_exact(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_ngram_jaccard_gated_skewed_corpus(spark):
+    """Scale contract: with an LSH candidate gate, a shingle shared by 50%
+    of the corpus must NOT blow up the plan — intersections come from
+    array_intersect over the candidate pairs, and the shared-shingle
+    self-join (join on the exploded hash column) never appears."""
+    hot = "terms of service apply here always"  # one hot shingle run in half the docs
+    rows = []
+    for i in range(200):
+        uniq = f"unique text body number {i} alpha beta gamma delta {i * 7} epsilon"
+        rows.append((i, f"{uniq} {hot}" if i % 2 == 0 else uniq))
+    # planted near-dup: 1000 is doc 0 plus one word
+    rows.append((1000, rows[0][1] + " tailword"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    cand = lsh_candidate_pairs(df)
+    out = ngram_jaccard_pairs(df, min_jaccard=0.5, candidates=cand)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert (0, 1000) in pairs
+    # the hot shingle alone must not fabricate high-jaccard pairs
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
+    """Ungated path: shingles with df > max_shingle_df are dropped from
+    the intersection count, so hot boilerplate can only under-estimate
+    jaccard — planted near-dups (rare shingles) are still found."""
+    hot = "all rights reserved worldwide forever"
+    rows = []
+    for i in range(100):
+        rows.append((i, f"document body {i} with words {i * 3} and {i * 11} {hot}"))
+    rows.append((1000, rows[0][1] + " tailword"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = ngram_jaccard_pairs(df, min_jaccard=0.5, max_shingle_df=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1000) in pairs
+    # hot-shingle-only overlaps are capped away: no pair of unrelated docs
+    assert all(a == 0 and b == 1000 for a, b in pairs)
+
+
 def test_lsh_finds_near_duplicates(spark, docs):
     # construct guaranteed near-dups: doc + copy with one word changed
     base = docs.limit(20).select("doc_id", "text")

@@ -179,3 +179,69 @@ def test_stateful_politeness_matches_batch_scheduler(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_politeness_parity_when_host_skips_a_round(spark, tmp_path):
+    """A host idle for a round has its clock in the PAST at the next
+    round's floor. Both schedulers must clamp to the floor (fetches can't
+    be scheduled before the round starts) — parity across the gap."""
+    from datetime import datetime, timedelta
+
+    from webscraper_spark.operators.schedule import advance_host_clocks, schedule_round
+    from webscraper_spark.streaming.politeness import CANDIDATE, streaming_politeness
+
+    floor1 = datetime(2025, 8, 1)
+    floor2 = floor1 + timedelta(hours=6)  # host idle in between → clock stale
+
+    def frontier_df(urls, floor):
+        return spark.createDataFrame(
+            [(hash(u) & 0x7FFFFFFF, u, "h0.example", i, 0, 0, None)
+             for i, u in enumerate(urls)],
+            "url_hash long, url string, host string, priority int, "
+            "discovered_round int, retry_count int, next_fetch_ts timestamp",
+        )
+
+    hosts = spark.createDataFrame(
+        [("h0.example", None, 1000, None)],
+        "host string, robots_txt string, crawl_delay_ms long, next_allowed_ts timestamp",
+    )
+    urls1 = [f"https://h0.example/a/{i}" for i in range(3)]
+    urls2 = [f"https://h0.example/b/{i}" for i in range(3)]
+
+    # batch: round 1 at floor1, advance clocks, round 2 at floor2
+    s1 = schedule_round(frontier_df(urls1, floor1), hosts, 10, round_start_ts=floor1)
+    hosts2 = advance_host_clocks(hosts, s1, round_start_ts=floor1)
+    s2 = schedule_round(frontier_df(urls2, floor2), hosts2, 10, round_start_ts=floor2)
+    batch_rows = {
+        r.url: (r.host_seq, r.scheduled_ts)
+        for s in (s1, s2) for r in s.collect()
+    }
+    # round-2 fetches start AT floor2, not at the stale clock
+    assert min(ts for u, (_, ts) in batch_rows.items() if "/b/" in u) == floor2
+
+    # streaming: same two waves through the stateful scheduler
+    src = str(tmp_path / "cand_skip")
+    out = str(tmp_path / "sched_skip")
+    ckpt = str(tmp_path / "ckpt_skip")
+
+    def wave(urls, floor):
+        rows = [("h0.example", u, hash(u) & 0x7FFFFFFF, i, 1000, floor)
+                for i, u in enumerate(urls)]
+        spark.createDataFrame(rows, schema=CANDIDATE).write.mode("append").parquet(src)
+        q = (
+            streaming_politeness(spark.readStream.schema(CANDIDATE).parquet(src))
+            .writeStream.outputMode("append").format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    wave(urls1, floor1)
+    wave(urls2, floor2)
+    stream_rows = {
+        r.url: (r.host_seq, r.scheduled_ts) for r in spark.read.parquet(out).collect()
+    }
+    # host_seq continues across rounds in streaming but restarts per round
+    # in batch — compare timestamps (the politeness contract) exactly
+    assert {u: ts for u, (_, ts) in stream_rows.items()} == {
+        u: ts for u, (_, ts) in batch_rows.items()
+    }

@@ -35,7 +35,7 @@ def cmd_crawl(args) -> int:
     pages = spark.read.parquet(args.pages)
     seeds = (
         spark.read.parquet(args.seeds)
-        if args.seeds.endswith(".parquet") or "parquet" in args.seeds
+        if args.seeds_format == "parquet"
         else spark.read.csv(args.seeds, header=True)
     )
     hosts = spark.read.parquet(args.hosts)
@@ -106,6 +106,8 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("crawl", help="run politeness-scheduled crawl rounds")
     c.add_argument("--pages", required=True)
     c.add_argument("--seeds", required=True)
+    c.add_argument("--seeds-format", choices=["csv", "parquet"], default="csv",
+                   help="seed list format (explicit flag, no path sniffing)")
     c.add_argument("--hosts", required=True)
     c.add_argument("--store", required=True)
     c.add_argument("--rounds", type=int, default=1)

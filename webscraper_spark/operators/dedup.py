@@ -214,22 +214,41 @@ class CuckooSeenSet:
         key_col: str = "url_hash",
         round_col: str = "discovered_round",
         n_shards: int = 32,
+        extra: DataFrame | None = None,
     ) -> "CuckooSeenSet":
+        """Distributed per-shard build. ``extra`` keys (e.g. this round's
+        forced-recrawl set — they must still read as "seen" for admission)
+        are folded into the cogroup with an always-wins discovery round,
+        so bulk recrawls of millions of URLs never collect to the driver.
+        Inserts are capacity-checked: a shard whose filter fills is
+        rebuilt with doubled capacity (never silently dropped — dropped
+        keys would be false negatives, violating the layered-probe
+        contract)."""
         spark = seen.sparkSession
         shard = F.pmod(F.col(key_col), F.lit(n_shards)).cast("int").alias("__shard")
-        s = seen.select(F.col(key_col), F.col(round_col).alias("__disc"), shard)
+        s = seen.select(
+            F.col(key_col), F.col(round_col).cast("long").alias("__disc"), shard
+        )
+        if extra is not None:
+            s = s.unionByName(
+                extra.select(
+                    F.col(key_col),
+                    F.lit(2**62).cast("long").alias("__disc"),  # beats any delete round
+                    shard,
+                )
+            )
         if deletes is None:
             d = spark.createDataFrame(
                 [], schema=T.StructType([
                     T.StructField(key_col, T.LongType()),
-                    T.StructField("__del", T.IntegerType()),
+                    T.StructField("__del", T.LongType()),
                     T.StructField("__shard", T.IntegerType()),
                 ])
             )
         else:
             d = deletes.select(
                 F.col(key_col),
-                F.col("deleted_round").cast("int").alias("__del"),
+                F.col("deleted_round").cast("long").alias("__del"),
                 shard,
             )
 
@@ -239,14 +258,19 @@ class CuckooSeenSet:
                 disc = left.groupby(key_col)["__disc"].max()
             else:
                 disc = pd.Series(dtype="int64")
-            cf = CuckooFilter(capacity=max(16, len(disc)))
-            for k in disc.index:
-                cf.insert(int(k))
+            keys = disc.index.to_numpy(dtype=np.int64)
+            cap = max(16, len(keys))
+            while True:  # checked insert: full shard → rebuild at 2× capacity
+                cf = CuckooFilter(capacity=cap)
+                if bool(cf.insert_many(keys).all()):
+                    break
+                cap *= 2
             if len(right):
                 dele = right.groupby(key_col)["__del"].max()
-                for k, dr in dele.items():
-                    if k in disc.index and int(disc.loc[k]) < int(dr):
-                        cf.delete(int(k))
+                both = disc.index.intersection(dele.index)
+                stale = both[disc.loc[both].to_numpy() < dele.loc[both].to_numpy()]
+                for k in stale:
+                    cf.delete(int(k))
             return pd.DataFrame(
                 [{"shard": sh, "bits": cf.to_bytes(), "n_buckets": cf.n_buckets}]
             )
@@ -285,7 +309,7 @@ class CuckooSeenSet:
                     local[int(s)] = CuckooFilter.from_bytes(*packed)
                 cf = local[int(s)]
                 mask = shard == s
-                out[mask] = [cf.contains(int(k)) for k in arr[mask]]
+                out[mask] = cf.contains_many(arr[mask])
             return pd.Series(out)
 
         return _probe
@@ -373,9 +397,49 @@ class CuckooFilter:
         mix = int(_splitmix64(np.array([fp], dtype=np.uint64))[0])
         return (idx ^ mix) & (self.n_buckets - 1)
 
+    def _fp_index_many(
+        self, keys: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized twin of ``_fp_and_index`` + ``_alt_index`` —
+        bit-identical to the scalar path (property-tested)."""
+        h = _splitmix64(np.asarray(keys, dtype=np.int64).view(_U64))
+        fp = (h & _U64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        mask = _U64(self.n_buckets - 1)
+        i1 = ((h >> _U64(16)) & mask).astype(np.int64)
+        mix = _splitmix64(fp.astype(np.uint64))
+        i2 = ((i1.view(_U64) ^ mix) & mask).astype(np.int64)
+        return fp, i1, i2
+
+    def insert_many(self, keys: np.ndarray) -> np.ndarray:
+        """Bulk insert with hashes computed vectorized (the hash is the
+        per-insert hot cost; eviction placement stays sequential by
+        nature). Returns a bool per key — callers MUST check: a False
+        means the table is full and the key was dropped (a false negative
+        if ignored)."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        fps, i1s, i2s = self._fp_index_many(np.asarray(keys, dtype=np.int64))
+        ok = np.ones(len(fps), dtype=bool)
+        for j in range(len(fps)):
+            ok[j] = self._place(int(fps[j]), int(i1s[j]), int(i2s[j]))
+        return ok
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe — no per-row Python."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        fps, i1s, i2s = self._fp_index_many(np.asarray(keys, dtype=np.int64))
+        hit1 = (self.table[i1s] == fps[:, None]).any(axis=1)
+        hit2 = (self.table[i2s] == fps[:, None]).any(axis=1)
+        return hit1 | hit2
+
     def insert(self, key: int) -> bool:
         fp, i1 = self._fp_and_index(key)
         i2 = self._alt_index(i1, fp)
+        return self._place(fp, i1, i2)
+
+    def _place(self, fp: int, i1: int, i2: int) -> bool:
         for idx in (i1, i2):
             row = self.table[idx]
             empty = np.flatnonzero(row == 0)
@@ -384,8 +448,10 @@ class CuckooFilter:
                 self.count += 1
                 return True
         idx, cur = i1, fp
+        chain: list[tuple[int, int]] = []  # (bucket, slot) of each eviction
         for kick in range(self.MAX_KICKS):
             slot = (cur + kick) % self.SLOTS  # deterministic eviction
+            chain.append((idx, slot))
             cur, self.table[idx][slot] = int(self.table[idx][slot]), cur
             idx = self._alt_index(idx, cur)
             row = self.table[idx]
@@ -394,7 +460,13 @@ class CuckooFilter:
                 row[empty[0]] = cur
                 self.count += 1
                 return True
-        return False  # table full — caller must resize/rebuild
+        # Table full: ROLL BACK the eviction chain so previously-inserted
+        # keys are untouched (otherwise a failed insert silently evicts an
+        # earlier key's fingerprint — a false negative for a key whose
+        # insert returned True).
+        for bidx, bslot in reversed(chain):
+            cur, self.table[bidx][bslot] = int(self.table[bidx][bslot]), cur
+        return False  # caller must resize/rebuild
 
     def contains(self, key: int) -> bool:
         fp, i1 = self._fp_and_index(key)

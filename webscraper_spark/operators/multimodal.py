@@ -78,7 +78,10 @@ def _phash(img: np.ndarray, grid: int = 8) -> int:
     out = 0
     for b in bits:
         out = (out << 1) | int(b)
-    return out - (1 << 63) if out >= (1 << 63) else out
+    # Two's-complement reinterpretation to signed int64 (subtract 2^64,
+    # NOT 2^63 — the latter would clear the sign bit instead of
+    # sign-extending, colliding pairs that differ only in bit 63).
+    return out - (1 << 64) if out >= (1 << 63) else out
 
 
 def image_features(media: DataFrame) -> DataFrame:
@@ -159,10 +162,14 @@ def image_near_pairs(
 
     feats = image_features(media).filter(F.col("phash").isNotNull())
     width = bits // bands
+    # Logical (unsigned) shifts, NOT div/%: phash is a signed 64-bit value
+    # and truncate-toward-zero division would break the pigeonhole
+    # guarantee for negative hashes (identical slice must give identical
+    # band key regardless of the sign bit).
+    mask = (1 << width) - 1
     band_expr = (
         f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, "
-        f"'key', (phash div shiftleft(cast(1 as bigint), b * {width})) % "
-        f"shiftleft(cast(1 as bigint), {width})))"
+        f"'key', shiftrightunsigned(phash, b * {width}) & {mask}))"
     )
     banded = feats.select(
         "media_id", "phash", F.explode(F.expr(band_expr)).alias("bk")

@@ -102,10 +102,18 @@ def schedule_round(
     )
 
     delay = F.coalesce(F.col("delay_ms"), F.lit(DEFAULT_DELAY_MS))
-    base = F.coalesce(
-        F.col("next_allowed_ts"),
-        F.lit(round_start_ts) if round_start_ts is not None else F.col("next_allowed_ts"),
-    )
+    # Clamp the per-host clock to the round floor: a host idle for rounds
+    # has next_allowed_ts in the past, and fetches cannot be scheduled
+    # before the round starts. Matches the streaming scheduler's
+    # max(state clock, batch floor) exactly (parity-tested with a host
+    # that skips a round).
+    if round_start_ts is not None:
+        base = F.greatest(
+            F.coalesce(F.col("next_allowed_ts"), F.lit(round_start_ts)),
+            F.lit(round_start_ts),
+        )
+    else:
+        base = F.col("next_allowed_ts")
     scheduled = ranked.withColumn(
         "scheduled_ts",
         F.timestamp_add(
@@ -126,15 +134,20 @@ def advance_host_clocks(
         F.count("*").alias("__n"), F.max("delay_ms").alias("__delay")
     )
     out = hosts.join(per_host, on="host", how="left")
+    # Advance from the SAME clamped base the scheduler used, so the
+    # politeness gap invariant (next fetch ≥ last scheduled + delay)
+    # holds across rounds even for hosts whose clock was in the past.
+    if round_start_ts is not None:
+        base = F.greatest(
+            F.coalesce(F.col("next_allowed_ts"), F.lit(round_start_ts)),
+            F.lit(round_start_ts),
+        )
+    else:
+        base = F.col("next_allowed_ts")
     advanced = F.when(
         F.col("__n").isNotNull(),
         F.timestamp_add(
-            "MILLISECOND",
-            (F.col("__n") * F.col("__delay")).cast("long"),
-            F.coalesce(
-                F.col("next_allowed_ts"),
-                F.lit(round_start_ts) if round_start_ts is not None else F.col("next_allowed_ts"),
-            ),
+            "MILLISECOND", (F.col("__n") * F.col("__delay")).cast("long"), base
         ),
     ).otherwise(F.col("next_allowed_ts"))
     return out.withColumn("next_allowed_ts", advanced).drop("__n", "__delay")

@@ -26,6 +26,7 @@ scan).
 
 from __future__ import annotations
 
+import time as _time
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame
@@ -121,6 +122,7 @@ def run_round(
     deletions present the fast membership path switches from Bloom to the
     deletion-capable cuckoo filters.
     """
+    t_round0 = _time.monotonic()
     prev = round_no - 1
     frontier = store.read_snapshot("frontier", up_to=prev)
     hosts = store.read_snapshot("hosts", up_to=prev)
@@ -230,21 +232,16 @@ def run_round(
     if use_bloom:
         if deletes is not None or recrawl_rows is not None:
             # deletions in play → deletion-capable cuckoo filters; this
-            # round's recrawl keys are inserted driver-side (they must
-            # still read as "seen" for admission — re-added below)
-            from ..operators.dedup import CuckooFilter
-
-            cuckoo = CuckooSeenSet.build(seen, deletes, n_shards=bloom_shards)
-            ok = True
-            if recrawl_rows is not None:
-                for r in recrawl_rows.select("url_hash").collect():
-                    k = int(r["url_hash"])
-                    sh = k % bloom_shards
-                    cf = cuckoo.shards.setdefault(sh, CuckooFilter(capacity=64))
-                    if not cf.insert(k):
-                        ok = False  # shard full → exact-only path
-                        break
-            fast = cuckoo if ok else None
+            # round's recrawl keys fold into the distributed cogroup
+            # build with an always-wins discovery round (they must still
+            # read as "seen" for admission — re-added below). No driver
+            # collect: a bulk recrawl of millions of URLs builds at the
+            # same cost as the seen-set itself, and the build's checked
+            # inserts rebuild full shards at doubled capacity instead of
+            # silently dropping keys.
+            fast = CuckooSeenSet.build(
+                seen, deletes, n_shards=bloom_shards, extra=recrawl_rows
+            )
         else:
             fast = BloomSeenSet.build(seen_admit, n_shards=bloom_shards)
     new_urls = bloom_filtered_new(candidates, seen_admit, fast).select(
@@ -332,7 +329,6 @@ def run_round(
             F.coalesce("missed", F.lit(0)).alias("missed"),
             F.coalesce("new_urls", F.lit(0)).alias("new_urls"),
             F.coalesce("bytes_html", F.lit(0)).alias("bytes_html"),
-            F.lit(0.0).alias("elapsed_sec"),
         )
     )
 
@@ -355,7 +351,15 @@ def run_round(
     store.write("seen", seen_add, round_no)
     store.write("frontier", next_frontier, round_no)
     store.write("hosts", new_hosts, round_no)
-    store.write("metrics", metrics, round_no)
+    # Real per-round wall time (C9/A5): measured on the driver AFTER the
+    # heavy writes have executed, stamped as a literal into the metrics
+    # write. Determinism-safe — it never feeds query output or any table
+    # the resume-parity invariant covers; the reference's running-avg/ETA
+    # (Glassdoor_url_finder.py:311-327) derives from exactly this value.
+    elapsed_sec = round(_time.monotonic() - t_round0, 3)
+    store.write(
+        "metrics", metrics.withColumn("elapsed_sec", F.lit(elapsed_sec)), round_no
+    )
 
     # lineage = one aggregation over the (persisted) metrics table instead
     # of four separate count() jobs
@@ -368,6 +372,7 @@ def run_round(
         "fetched": int(agg["f"] or 0),
         "missed": int(agg["m"] or 0),
         "new_urls": int(agg["n"] or 0),
+        "elapsed_sec": elapsed_sec,
     }
     if recrawl_rows is not None:
         lineage["recrawled"] = recrawl_rows.count()
@@ -404,8 +409,14 @@ def run_crawl(
         raise ValueError("store already initialized; pass resume=True")
     lineages = []
     for r in range(last + 1, n_rounds + 1):
-        lineages.append(
-            run_round(store, pages_latest, r, per_host_budget=per_host_budget, **round_kwargs)
+        lineage = run_round(
+            store, pages_latest, r, per_host_budget=per_host_budget, **round_kwargs
         )
+        # running-mean ETA, the reference's progress readout
+        # (Glassdoor_url_finder.py:311-327): avg secs/round so far ×
+        # rounds remaining
+        done = [l["elapsed_sec"] for l in lineages] + [lineage["elapsed_sec"]]
+        lineage["eta_sec"] = round(sum(done) / len(done) * (n_rounds - r), 3)
+        lineages.append(lineage)
     pages_latest.unpersist()
     return lineages
