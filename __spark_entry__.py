@@ -1618,15 +1618,21 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM (
     hits = {
         lang: f"len(list_filter({ws}, w -> w IN {stop_in[lang]}))" for lang in STOPWORDS
     }
+    # argmax over all STOPWORDS languages; tie-break = dict order, same as
+    # the Spark lang_id operator
+    _langs = list(STOPWORDS)
+    _hit_cols = ",\n         ".join(f"{hits[l]} AS h_{l}" for l in _langs)
+    _best = "greatest(" + ", ".join(f"h_{l}" for l in _langs) + ")"
+    _case = (
+        f"CASE WHEN {_best} <= 0 THEN 'und'\n"
+        + "\n".join(f"            WHEN h_{l} = {_best} THEN '{l}'" for l in _langs[:-1])
+        + f"\n            ELSE '{_langs[-1]}' END"
+    )
     sql["lang_id"] = f"""
 WITH h AS (
-  SELECT doc_id, lang, {hits['en']} AS he, {hits['de']} AS hd, {hits['fr']} AS hf
+  SELECT doc_id, lang, {_hit_cols}
   FROM documents)
-SELECT doc_id, lang,
-       CASE WHEN greatest(he, hd, hf) <= 0 THEN 'und'
-            WHEN he = greatest(he, hd, hf) THEN 'en'
-            WHEN hd = greatest(he, hd, hf) THEN 'de'
-            ELSE 'fr' END AS lang_pred
+SELECT doc_id, lang, {_case} AS lang_pred
 FROM h
 """
 
@@ -1659,17 +1665,15 @@ WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
 kept AS (SELECT d.doc_id, d.text FROM documents d JOIN canon USING (doc_id)),
 h AS (
   SELECT doc_id, text,
-         {hits['en']} AS he, {hits['de']} AS hd, {hits['fr']} AS hf,
+         {_hit_cols},
+         {hits['en']} AS he,
          length(text)::BIGINT AS n_chars,
          (CASE WHEN trim(text) = '' THEN 0 ELSE len({ws}) END)::BIGINT AS n_tokens,
          len(list_distinct({ws})) AS n_distinct
   FROM kept),
 r AS (
   SELECT doc_id,
-         CASE WHEN greatest(he, hd, hf) <= 0 THEN 'und'
-              WHEN he = greatest(he, hd, hf) THEN 'en'
-              WHEN hd = greatest(he, hd, hf) THEN 'de'
-              ELSE 'fr' END AS lang_pred,
+         {_case} AS lang_pred,
          n_tokens,
          round(CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens END, 4) AS mean_word_len,
          round(CASE WHEN n_tokens > 0 THEN he::DOUBLE / n_tokens END, 4) AS stopword_ratio,
@@ -1699,5 +1703,44 @@ SELECT doc_id,
                    (acc, h) -> (acc * 131 + h) % {_MOD}) AS fp
 FROM documents
 """
+
+    # ---- golden VALUES oracles for the non-SQL-expressible queries -------
+    # Computed by independent pure-Python twins (tools/golden.py: spec-level
+    # reimplementations — xxHash64 from the published spec, blake2b via
+    # hashlib, sequential scheduling/banding loops) and embedded as VALUES
+    # literals. The driver's correctness gate runs oracles at sf0.01 (the
+    # same fixed dir the goldens read), so every former rows-only query is
+    # now hash-checked against a second implementation.
+    try:
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from tools import golden as _g
+
+        _gold_sf = "/root/testdata/sf0.01"
+        sql["crawl_round"] = _g.values_sql(
+            _g.golden_crawl_round(_gold_sf),
+            ["url", "host", "host_seq", "scheduled_ts", "title",
+             "n_outlinks", "new_urls_total"],
+        )
+        sql["minhash_lsh_fast"] = _g.values_sql(
+            _g.golden_minhash_fast_pairs(_gold_sf), ["id_a", "id_b"]
+        )
+        sql["simhash_fast"] = _g.values_sql(
+            _g.golden_simhash_fast_pairs(_gold_sf), ["id_a", "id_b", "hamming"]
+        )
+        sql["image_features"] = _g.values_sql(
+            _g.golden_image_features(40),
+            ["media_id", "width", "height", "mean_luma", "phash", "decode_error"],
+            casts={"decode_error": "VARCHAR"},
+        )
+        sql["image_near_pairs"] = _g.values_sql(
+            _g.golden_image_near_pairs(40), ["id_a", "id_b", "hamming"]
+        )
+    except Exception:
+        # goldens are additive: if the fixed sf0.01 dir is unavailable the
+        # five queries simply fall back to the rows-only check
+        pass
 
     return sql

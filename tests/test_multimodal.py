@@ -38,8 +38,9 @@ def test_image_features(spark):
     assert ok["phash"] is not None
     img = decode_image(encode_fake_image(32, 24, seed=0))
     assert ok["mean_luma"] == round(float(img.mean()), 4)
-    # stub seam: real formats become error rows, not task failures
-    assert out[20]["decode_error"] == "NotImplementedError"
+    # codec seam: undecodable real-format bytes become error rows, not
+    # task failures (NotImplementedError without PIL, ValueError with it)
+    assert out[20]["decode_error"] in ("NotImplementedError", "ValueError")
     assert out[20]["width"] is None
 
 
@@ -116,3 +117,33 @@ def test_image_near_pairs_negative_phash_hamming_gt0(spark):
     )
     pairs = {(r.id_a, r.id_b): r.hamming for r in image_near_pairs(media, max_hamming=6).collect()}
     assert pairs == {(0, 1): 1}
+
+
+def test_codec_seam_with_and_without_pil(monkeypatch):
+    """The seam tries PIL when importable and degrades to
+    NotImplementedError when not — both paths per-item-isolated."""
+    import pytest as _pytest
+
+    from webscraper_spark.operators import multimodal as mm
+
+    # forced no-PIL path: real format raises NotImplementedError
+    monkeypatch.setattr(mm, "_PIL", None)
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n junk")
+    # fake format decodes regardless of PIL availability
+    img = mm.decode_image(mm.encode_fake_image(8, 8, seed=1))
+    assert img.shape == (8, 8)
+
+    # with-PIL path (skipped in containers without PIL)
+    Image = _pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as _np
+
+    monkeypatch.setattr(mm, "_PIL", Image)
+    buf = io.BytesIO()
+    Image.fromarray(_np.full((4, 6), 7, dtype=_np.uint8), mode="L").save(buf, "PNG")
+    out = mm.decode_image(buf.getvalue())
+    assert out.shape == (4, 6) and (out == 7).all()
+    with _pytest.raises(ValueError):
+        mm.decode_image(b"\x89PNG corrupt")

@@ -80,3 +80,39 @@ def test_full_documents_pipeline(spark, docs):
     rows = out.select("doc_id", "lang", "lang_pred", "n_tokens", "q").collect()
     assert len(rows) == docs.count()
     assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_lang_id_twenty_languages_accuracy(spark):
+    """Labeled fixture: one natural sentence per STOPWORDS language; the
+    widened profile must identify every one (and 'und' for no-hit text)."""
+    from webscraper_spark.operators.textstats import STOPWORDS, lang_id
+
+    fixtures = {
+        "en": "the cat sat on the mat and it was happy that the sun is out",
+        "de": "der hund lief nicht mit der katze und das war ein problem zu lösen",
+        "fr": "le chat est sur la table et les enfants jouent pour une heure",
+        "es": "el perro corre por el parque y los niños juegan con la pelota para divertirse",
+        "it": "il gatto dorme per ore che non sono poche con una coperta",
+        "pt": "o menino foi para casa em um dia quente com uma bola não muito grande",
+        "nl": "het kind speelt een spel van de buren en dat is niet op zijn plaats",
+        "sv": "och sedan gick det som det ofta går när en plan är av gammal sort för oss med på vägen",
+        "da": "og så gik det ikke som det skulle til sidst er de på vej",
+        "fi": "ja sitten hän sanoi että se oli mutta myös kuin ennen ei mitään",
+        "pl": "i wtedy nie było na to się jest do zrobienia że z tym to koniec",
+        "cs": "a pak se na to je že s tím z toho do konce to není snadné",
+        "ro": "și apoi de la el cu un gând o zi este pentru cei care nu știu",
+        "hu": "a ház az utcán és hogy nem is egy van de el kell menni",
+        "tr": "ve sonra bir gün bu ev için de da ne gibi çok güzel ama oldu",
+        "id": "yang penting dan baik di sini itu dengan cara untuk tidak lupa ini dari awal akan datang",
+        "sw": "na watu wa hapa ya kwamba ni kwa ajili za kazi katika siku hii kuwa la kweli",
+        "vi": "và đây là của chúng ta có không được ai trong nhà cho một ngày này",
+        "ca": "el noi i la noia els dies que passen de pressa per amb tothom és així",
+        "et": "ja siis ta ütles et see oli aga ka nagu enne ei oma midagi",
+    }
+    rows = [(lang, text) for lang, text in fixtures.items()]
+    rows.append(("und", "zzz qqq xxx blorp glorp"))
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {r.lang: r.lang_pred for r in lang_id(df).collect()}
+    wrong = {k: v for k, v in got.items() if k != v}
+    assert not wrong, wrong
+    assert set(STOPWORDS) <= set(fixtures)

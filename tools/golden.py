@@ -318,14 +318,20 @@ def golden_simhash_fast_pairs(
 # VALUES-literal SQL emitter
 # --------------------------------------------------------------------------
 
-def values_sql(rows: list[dict], columns: list[str], empty_types: dict | None = None) -> str:
-    """Render rows as a DuckDB VALUES query with stable column names."""
+def values_sql(
+    rows: list[dict], columns: list[str],
+    empty_types: dict | None = None, casts: dict | None = None,
+) -> str:
+    """Render rows as a DuckDB VALUES query with stable column names.
+    ``casts`` forces a column's type (needed when every value is NULL —
+    DuckDB would otherwise type it as integer/float and pandas would
+    render NaN instead of None)."""
     if not rows:
-        casts = ", ".join(
+        cast_cols = ", ".join(
             f"CAST(NULL AS {(empty_types or {}).get(c, 'BIGINT')}) AS {c}"
             for c in columns
         )
-        return f"SELECT {casts} WHERE 1=0"
+        return f"SELECT {cast_cols} WHERE 1=0"
 
     def lit(v):
         if v is None:
@@ -340,4 +346,10 @@ def values_sql(rows: list[dict], columns: list[str], empty_types: dict | None = 
 
     body = ",\n".join("(" + ", ".join(lit(r[c]) for c in columns) + ")" for r in rows)
     cols = ", ".join(columns)
-    return f"SELECT * FROM (VALUES\n{body}\n) AS t({cols})"
+    base = f"SELECT * FROM (VALUES\n{body}\n) AS t({cols})"
+    if casts:
+        proj = ", ".join(
+            f"CAST({c} AS {casts[c]}) AS {c}" if c in casts else c for c in columns
+        )
+        base = f"SELECT {proj} FROM ({base}) s"
+    return base

@@ -191,6 +191,62 @@ class BloomSeenSet:
         return _probe
 
 
+class BloomShardStore:
+    """Distributed Bloom shards that are NEVER collected to the driver —
+    the 10^10-key probe path. ``BloomSeenSet`` broadcasts the whole shard
+    dict to every executor (12 GB per executor at the SCALE.md design
+    point); this store keeps the shards as a DataFrame and probes via a
+    shard-cogrouped map, so one task holds exactly one shard's bitmap plus
+    that shard's candidate keys. Output-equivalent to the broadcast probe
+    (tested) — pick by memory envelope:
+
+    - |bloom| ≪ executor memory → ``BloomSeenSet`` (no extra shuffle)
+    - |bloom| ~ GBs → this store (one narrow shuffle of candidate keys,
+      per-shard memory)
+    """
+
+    def __init__(self, bloom_df: DataFrame, n_shards: int):
+        # persist: built once per round, probed once; without it the
+        # grouped-map build would re-run per consumer
+        self.bloom_df = bloom_df.persist()
+        self.n_shards = n_shards
+
+    @classmethod
+    def build(cls, seen: DataFrame, key_col: str = "url_hash",
+              n_shards: int = 32, fpp: float = 0.01) -> "BloomShardStore":
+        return cls(build_bloom_shards(seen, key_col, n_shards, fpp), n_shards)
+
+    def maybe_seen_keys(self, candidates: DataFrame,
+                        key_col: str = "url_hash") -> DataFrame:
+        """Keys from ``candidates`` the filter cannot rule out (false
+        positives possible, false negatives impossible)."""
+        n_shards = self.n_shards
+        cand = candidates.select(key_col).withColumn(
+            "__shard", F.pmod(F.col(key_col), F.lit(n_shards)).cast("int")
+        )
+        shards = self.bloom_df.withColumnRenamed("shard", "__shard")
+
+        def _probe(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(cand_pdf) or not len(shard_pdf):
+                # no bitmap for this shard → it held no seen keys → all new
+                return pd.DataFrame({key_col: pd.Series([], dtype="int64")})
+            row = shard_pdf.iloc[0]
+            bf = BloomShard.from_bytes(
+                row["bits"], int(row["n_bits"]), int(row["n_hashes"])
+            )
+            keys = cand_pdf[key_col].to_numpy(dtype=np.int64)
+            return pd.DataFrame({key_col: keys[bf.might_contain(keys)]})
+
+        return (
+            cand.groupBy("__shard")
+            .cogroup(shards.groupBy("__shard"))
+            .applyInPandas(_probe, schema=f"{key_col} long")
+        )
+
+    def unpersist(self) -> None:
+        self.bloom_df.unpersist()
+
+
 class CuckooSeenSet:
     """Sharded cuckoo-filter seen-set — the deletion-capable fast path
     used when forced re-crawl invalidations exist (Bloom cannot delete).
@@ -333,14 +389,22 @@ def semi_join_seen(candidates: DataFrame, seen: DataFrame,
 def bloom_filtered_new(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: BloomSeenSet | None,
+    bloom: "BloomSeenSet | BloomShardStore | CuckooSeenSet | None",
     key_col: str = "url_hash",
 ) -> DataFrame:
     """Layered membership: Bloom pre-probe routes definitely-new rows
     around the exact join; maybe-seen rows get the exact anti-join.
     Equivalent to :func:`anti_join_seen` (no false negatives), cheaper at
-    steady state."""
-    if bloom is None or not bloom.shards:
+    steady state. Accepts the broadcast probe (BloomSeenSet/CuckooSeenSet)
+    or the shard-local distributed probe (BloomShardStore)."""
+    if bloom is None:
+        return anti_join_seen(candidates, seen, key_col)
+    if isinstance(bloom, BloomShardStore):
+        maybe_keys = bloom.maybe_seen_keys(candidates, key_col)
+        definitely_new = candidates.join(maybe_keys, on=key_col, how="left_anti")
+        maybe = candidates.join(maybe_keys, on=key_col, how="left_semi")
+        return definitely_new.unionByName(anti_join_seen(maybe, seen, key_col))
+    if not bloom.shards:
         return anti_join_seen(candidates, seen, key_col)
     spark = candidates.sparkSession
     probe = bloom.might_contain_udf(spark)

@@ -54,17 +54,39 @@ def encode_fake_image(width: int, height: int, seed: int) -> bytes:
     return FAKE_MAGIC + width.to_bytes(4, "big") + height.to_bytes(4, "big") + payload
 
 
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+_PIL = _try_import_pil()
+
+
 def decode_image(blob: bytes) -> np.ndarray:
-    """Codec seam. Fake format decodes; real formats raise at exactly the
-    line where PIL/turbojpeg would be called in production."""
+    """Codec seam: fake format always decodes; real formats decode to
+    8-bit grayscale via PIL when it is importable, else raise — the
+    feature extractors downstream turn that into an error row (C7), never
+    a task failure."""
     if blob is None:
         raise ValueError("null blob")
     if blob[:8] == FAKE_MAGIC:
         w = int.from_bytes(blob[8:12], "big")
         h = int.from_bytes(blob[12:16], "big")
         return np.frombuffer(blob[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
+    if _PIL is not None:
+        import io
+
+        try:
+            with _PIL.open(io.BytesIO(blob)) as img:
+                return np.asarray(img.convert("L"), dtype=np.uint8)
+        except Exception as e:  # corrupt bytes → per-item error row
+            raise ValueError(f"undecodable image: {type(e).__name__}") from e
     raise NotImplementedError(
-        "real image codecs unavailable in this container; plug PIL/libjpeg here"
+        "real image codecs unavailable (PIL not importable); fake format only"
     )
 
 

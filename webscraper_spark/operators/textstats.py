@@ -14,11 +14,32 @@ from pyspark.sql import functions as F
 
 from .similarity import POLY_MOD, POLY_MULT, words_sql
 
-# small frozen stopword profiles for the n-gram/stopword language heuristic
+# Frozen stopword profiles (top function words, standard public lists) for
+# the stopword-hit language heuristic. 20 whitespace-tokenized languages;
+# CJK and other unsegmented scripts need a char-n-gram profile instead
+# (documented limitation). Dict ORDER is the deterministic tie-break and
+# is mirrored verbatim in the DuckDB oracle.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
     "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "los", "las", "y", "en", "que", "por", "con", "para", "es"],
+    "it": ["il", "lo", "gli", "di", "che", "per", "con", "non", "una", "sono"],
+    "pt": ["o", "os", "as", "em", "um", "uma", "para", "com", "não", "por"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "op", "voor", "zijn"],
+    "sv": ["och", "att", "det", "som", "en", "är", "av", "för", "med", "på"],
+    "da": ["og", "det", "at", "en", "til", "er", "som", "på", "de", "ikke"],
+    "fi": ["ja", "on", "ei", "että", "se", "hän", "oli", "mutta", "kuin", "myös"],
+    "pl": ["i", "w", "nie", "na", "się", "jest", "do", "że", "z", "to"],
+    "cs": ["a", "se", "na", "je", "že", "s", "z", "do", "to", "není"],
+    "ro": ["și", "de", "la", "cu", "un", "o", "este", "pentru", "care", "nu"],
+    "hu": ["a", "az", "és", "hogy", "nem", "is", "egy", "van", "de", "el"],
+    "tr": ["ve", "bir", "bu", "için", "de", "da", "ne", "gibi", "çok", "ama"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"],
+    "sw": ["na", "ya", "wa", "kwa", "ni", "za", "katika", "hii", "kuwa", "la"],
+    "vi": ["và", "của", "là", "có", "không", "được", "trong", "cho", "một", "này"],
+    "ca": ["el", "la", "els", "les", "i", "de", "que", "per", "amb", "és"],
+    "et": ["ja", "on", "ei", "et", "see", "ta", "oli", "aga", "ka", "oma"],
 }
 
 
@@ -47,21 +68,21 @@ def stopword_hits_col(text: str, lang: str) -> Column:
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Stopword-profile language ID: argmax of per-language stopword hit
-    counts; 'und' (undetermined) when no profile hits. Deterministic
-    tie-break by language code order en < de < fr (greatest-first)."""
+    """Stopword-profile language ID over the 20 STOPWORDS languages:
+    argmax of per-language stopword hit counts; 'und' (undetermined) when
+    no profile hits. Deterministic tie-break = STOPWORDS insertion order
+    (first language reaching the max wins), mirrored in the oracle."""
+    langs = list(STOPWORDS)
     scored = df.withColumns(
-        {f"__hits_{l}": stopword_hits_col(text_col, l) for l in STOPWORDS}
+        {f"__hits_{l}": stopword_hits_col(text_col, l) for l in langs}
     )
-    best = F.greatest(*[F.col(f"__hits_{l}") for l in STOPWORDS])
-    pick = (
-        F.when(best <= 0, F.lit("und"))
-        .when(F.col("__hits_en") == best, F.lit("en"))
-        .when(F.col("__hits_de") == best, F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
+    best = F.greatest(*[F.col(f"__hits_{l}") for l in langs])
+    pick = F.when(best <= 0, F.lit("und"))
+    for l in langs[:-1]:
+        pick = pick.when(F.col(f"__hits_{l}") == best, F.lit(l))
+    pick = pick.otherwise(F.lit(langs[-1]))
     return scored.withColumn(out_col, pick).drop(
-        *[f"__hits_{l}" for l in STOPWORDS]
+        *[f"__hits_{l}" for l in langs]
     )
 
 

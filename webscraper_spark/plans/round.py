@@ -36,6 +36,7 @@ from ..functions.canon import canonicalize_href_udf, with_canonical
 from ..functions.extract import extract_udf
 from ..operators.dedup import (
     BloomSeenSet,
+    BloomShardStore,
     CuckooSeenSet,
     anti_join_seen,
     bloom_filtered_new,
@@ -111,6 +112,7 @@ def run_round(
     n_salt: int = 1,
     bloom_shards: int = 32,
     recrawl: DataFrame | None = None,
+    bloom_mode: str = "broadcast",
 ) -> dict:
     """Execute round ``round_no`` (requires round ``round_no - 1``
     committed). Returns the round's lineage counts.
@@ -242,6 +244,10 @@ def run_round(
             fast = CuckooSeenSet.build(
                 seen, deletes, n_shards=bloom_shards, extra=recrawl_rows
             )
+        elif bloom_mode == "sharded":
+            # 10^10-key path: shards never collected, probe is a
+            # shard-cogrouped join (per-shard memory, one narrow shuffle)
+            fast = BloomShardStore.build(seen_admit, n_shards=bloom_shards)
         else:
             fast = BloomSeenSet.build(seen_admit, n_shards=bloom_shards)
     new_urls = bloom_filtered_new(candidates, seen_admit, fast).select(
@@ -382,6 +388,8 @@ def run_round(
     new_urls.unpersist()
     misses.unpersist()
     metrics.unpersist()
+    if isinstance(fast, BloomShardStore):
+        fast.unpersist()
     if recrawl_rows is not None:
         recrawl_rows.unpersist()
     return lineage
