@@ -996,6 +996,80 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media)
 
 
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video plumbing: binary video column → mapInPandas frame
+    sampling (every 2nd frame re-encoded as a fake image, mean luma per
+    frame; codec seam stubbed). Oracle = pure-Python golden
+    (tools/golden.py). frame_blob is dropped here (binary literals don't
+    embed in VALUES); its correctness is pytest-covered."""
+    from webscraper_spark.operators.multimodal import (
+        encode_fake_video,
+        video_frame_sample,
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def _blob(ids: pd.Series) -> pd.Series:
+        def enc(i):
+            i = int(i)
+            if i >= 12:
+                return b"RIFFmp4?" + b"x" * 16  # real format → error row
+            return encode_fake_video(16 + (i % 3) * 8, 16, 4 + (i % 3), i)
+
+        return ids.map(enc)
+
+    media = spark.range(13).select(
+        F.col("id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        _blob(F.col("id")).alias("blob"),
+        F.lit(None).cast("int").alias("meta_w"),
+        F.lit(None).cast("int").alias("meta_h"),
+    )
+    out = video_frame_sample(media, every=2)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "mean_luma", "decode_error",
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing: binary PCM column → mapInPandas features
+    (duration, RMS, zero crossings; codec seam stubbed). Oracle =
+    pure-Python golden (tools/golden.py)."""
+    from webscraper_spark.operators.multimodal import (
+        audio_features,
+        encode_fake_audio,
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def _blob(ids: pd.Series) -> pd.Series:
+        def enc(i):
+            i = int(i)
+            if i >= 30:
+                return b"ID3\x03mp3 junk"  # real format → error row
+            return encode_fake_audio(8000 + (i % 5) * 400, 16000, i)
+
+        return ids.map(enc)
+
+    media = spark.range(31).select(
+        F.col("id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        _blob(F.col("id")).alias("blob"),
+        F.lit(None).cast("int").alias("meta_w"),
+        F.lit(None).cast("int").alias("meta_h"),
+    )
+    out = audio_features(media)
+    return out.select(
+        "media_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "duration_sec", "rms",
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        "decode_error",
+    )
+
+
 def q_image_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: perceptual-hash banded Hamming pairs over the
     binary media column (rows-only; codec stubbed)."""
@@ -1078,6 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal (rows-only)
         "image_features": q_image_features,
         "image_near_pairs": q_image_near_pairs,
+        "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1737,6 +1813,15 @@ FROM documents
         )
         sql["image_near_pairs"] = _g.values_sql(
             _g.golden_image_near_pairs(40), ["id_a", "id_b", "hamming"]
+        )
+        sql["video_frame_sample"] = _g.values_sql(
+            _g.golden_video_frames(12),
+            ["media_id", "frame_idx", "n_frames", "mean_luma", "decode_error"],
+        )
+        sql["audio_features"] = _g.values_sql(
+            _g.golden_audio_features(30),
+            ["media_id", "n_samples", "sample_rate", "duration_sec", "rms",
+             "zero_crossings", "decode_error"],
         )
     except Exception:
         # goldens are additive: if the fixed sf0.01 dir is unavailable the

@@ -52,6 +52,7 @@ HEADLINE = [
     # sinks / extraction
     "merge_upsert",
     "extract_ladder",
+    "benefits_ladder",
     # dedup + similarity + text analysis
     "exact_dedup",
     "minhash_lsh_fast",

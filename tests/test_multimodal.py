@@ -147,3 +147,75 @@ def test_codec_seam_with_and_without_pil(monkeypatch):
     assert out.shape == (4, 6) and (out == 7).all()
     with _pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG corrupt")
+
+
+def test_video_frame_sample_plumbing(spark):
+    """Frames explode in order, re-encoded frames round-trip through the
+    image codec, and sampled frames feed image_features directly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from webscraper_spark.operators.multimodal import (
+        decode_image,
+        decode_video,
+        encode_fake_video,
+        image_features,
+        video_frame_sample,
+    )
+
+    rows = [(i, "video", encode_fake_video(16, 8, 5, seed=i), None, None)
+            for i in range(4)]
+    rows.append((4, "video", b"\x00\x00\x00 ftypmp42", None, None))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "blob", "meta_w", "meta_h"]),
+        schema=MEDIA,
+    )
+    out = video_frame_sample(media, every=2).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.media_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_vid[0]) == [0, 2, 4]
+    # sampled frame equals the decoded source frame
+    src = decode_video(bytes(encode_fake_video(16, 8, 5, seed=0)))
+    fr0 = next(r for r in by_vid[0] if r.frame_idx == 2)
+    assert (decode_image(bytes(fr0.frame_blob)) == src[2]).all()
+    assert fr0.mean_luma == round(float(src[2].mean()), 4)
+    # error isolation for real containers
+    assert by_vid[4][0].decode_error == "NotImplementedError"
+
+    # frames → image pipeline: frame_blob is valid image_features input
+    frames_media = video_frame_sample(media, every=2).filter(
+        F.col("frame_blob").isNotNull()
+    ).select(
+        (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("frame_blob").alias("blob"),
+        F.lit(None).cast("int").alias("meta_w"),
+        F.lit(None).cast("int").alias("meta_h"),
+    )
+    feats = image_features(frames_media).collect()
+    assert len(feats) == 12 and all(r.phash is not None for r in feats)
+
+
+def test_audio_features_values(spark):
+    import numpy as np
+    import pandas as pd
+
+    from webscraper_spark.operators.multimodal import (
+        audio_features,
+        encode_fake_audio,
+    )
+
+    rows = [(0, "audio", encode_fake_audio(1600, 16000, seed=9), None, None),
+            (1, "audio", b"RIFF....WAVE", None, None)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "blob", "meta_w", "meta_h"]),
+        schema=MEDIA,
+    )
+    out = {r.media_id: r for r in audio_features(media).collect()}
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-(2**15), 2**15, 1600, dtype=np.int16).astype(np.float64)
+    assert out[0].duration_sec == 0.1
+    assert out[0].rms == round(float(np.sqrt(np.mean(pcm * pcm))), 4)
+    assert out[0].zero_crossings > 0
+    assert out[1].decode_error == "NotImplementedError"

@@ -205,6 +205,55 @@ def golden_image_near_pairs(n: int = 40, max_hamming: int = 0) -> list[dict]:
     return out
 
 
+def golden_video_frames(n: int = 12, every: int = 2) -> list[dict]:
+    """Twin of q_video_frame_sample's media: w=16+(i%3)*8, h=16,
+    frames=4+(i%3), seed=i; every 2nd frame; plus one real-format error
+    row (media_id=n)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h, nf = 16 + (i % 3) * 8, 16, 4 + (i % 3)
+        rng = np.random.default_rng(i)
+        payload = rng.integers(0, 256, w * h * nf, dtype=np.uint8)
+        for idx in range(0, nf, every):
+            frame = payload[idx * w * h:(idx + 1) * w * h]
+            rows.append({
+                "media_id": i, "frame_idx": idx, "n_frames": nf,
+                "mean_luma": round(int(frame.sum()) / (w * h), 4),
+                "decode_error": None,
+            })
+    rows.append({"media_id": n, "frame_idx": None, "n_frames": None,
+                 "mean_luma": None, "decode_error": "NotImplementedError"})
+    return rows
+
+
+def golden_audio_features(n: int = 30) -> list[dict]:
+    """Twin of q_audio_features' media: n_samples=8000+(i%5)*400,
+    sr=16000, seed=i; plus one real-format error row (media_id=n)."""
+    import math
+
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        ns, sr = 8000 + (i % 5) * 400, 16000
+        rng = np.random.default_rng(i)
+        pcm = [int(v) for v in rng.integers(-(2**15), 2**15, ns, dtype=np.int16)]
+        sq = sum(v * v for v in pcm)  # integer-exact
+        zc = sum(1 for a, b in zip(pcm, pcm[1:]) if (a < 0) != (b < 0))
+        rows.append({
+            "media_id": i, "n_samples": ns, "sample_rate": sr,
+            "duration_sec": round(ns / sr, 6),
+            "rms": round(math.sqrt(sq / ns), 4),
+            "zero_crossings": zc, "decode_error": None,
+        })
+    rows.append({"media_id": n, "n_samples": None, "sample_rate": None,
+                 "duration_sec": None, "rms": None, "zero_crossings": None,
+                 "decode_error": "NotImplementedError"})
+    return rows
+
+
 # --------------------------------------------------------------------------
 # golden fast-kernel near-dup pairs (q_minhash_lsh_fast / q_simhash_fast)
 # --------------------------------------------------------------------------

@@ -111,8 +111,10 @@ class _PageParser(HTMLParser):
         self.hrefs: list[str] = []
         self._skip_depth = 0
         self._in_title = False
-        self.span_texts: list[str] = []
-        self.rating_class_texts: list[str] = []
+        # close-order NODE lists; text is computed lazily (an eager
+        # text_content() per close would be quadratic on nested spans)
+        self.span_nodes: list[_Node] = []
+        self.rating_nodes: list[_Node] = []
 
     # -- text-chunk separator rule ------------------------------------------
     # Every markup construct (tag, comment, declaration, PI) outside a
@@ -199,11 +201,19 @@ class _PageParser(HTMLParser):
         del self._open[1:]
 
     def _on_close(self, node: _Node) -> None:
-        """Close-order collectors (kept for the H2 fallback ladder)."""
+        """Close-order collectors (the H2 fallback ladder's scan order)."""
         if node.tag == "span":
-            self.span_texts.append(node.text_content())
+            self.span_nodes.append(node)
         if "rating" in node.cls.lower():
-            self.rating_class_texts.append(node.text_content())
+            self.rating_nodes.append(node)
+
+    @property
+    def span_texts(self) -> list[str]:
+        return [n.text_content() for n in self.span_nodes]
+
+    @property
+    def rating_class_texts(self) -> list[str]:
+        return [n.text_content() for n in self.rating_nodes]
 
     def handle_data(self, data):
         if self._skip_depth:
@@ -273,16 +283,17 @@ def extract_fields(html: bytes | str | None) -> dict:
     title = _normalize_ws("".join(p.title_chunks)) or None
 
     # rating fallback ladder: class*=rating → any <span> decimal → first
-    # decimal in page text; clamp [0,5] else null (F7 semantics).
+    # decimal in page text; clamp [0,5] else null (F7 semantics). Node
+    # text is computed lazily — the scan stops at the first match.
     rating = None
-    for cand in p.rating_class_texts:
-        c = cand.strip()
+    for node in p.rating_nodes:
+        c = node.text_content().strip()
         if _RATING_RE.match(c):
             rating = float(c)
             break
     if rating is None:
-        for cand in p.span_texts:
-            c = cand.strip()
+        for node in p.span_nodes:
+            c = node.text_content().strip()
             if _RATING_RE.match(c):
                 rating = float(c)
                 break

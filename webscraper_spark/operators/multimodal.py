@@ -173,6 +173,156 @@ def resize_stub(media: DataFrame, target: int = 64) -> DataFrame:
     )
 
 
+FAKE_VIDEO_MAGIC = b"FAKEVID1"
+FAKE_AUDIO_MAGIC = b"FAKEAUD1"
+
+
+def encode_fake_video(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Deterministic stand-in video: header + n_frames seeded grayscale
+    frames (one rng stream, frames differ)."""
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 256, width * height * n_frames, dtype=np.uint8).tobytes()
+    return (
+        FAKE_VIDEO_MAGIC + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + n_frames.to_bytes(4, "big") + payload
+    )
+
+
+def decode_video(blob: bytes) -> np.ndarray:
+    """Video codec seam → (frames, h, w) uint8. Real containers (mp4/webm)
+    raise where ffmpeg/pyav would slot in."""
+    if blob is None:
+        raise ValueError("null blob")
+    if blob[:8] == FAKE_VIDEO_MAGIC:
+        w = int.from_bytes(blob[8:12], "big")
+        h = int.from_bytes(blob[12:16], "big")
+        n = int.from_bytes(blob[16:20], "big")
+        return np.frombuffer(blob[20 : 20 + w * h * n], dtype=np.uint8).reshape(n, h, w)
+    raise NotImplementedError("real video codecs unavailable; plug ffmpeg/pyav here")
+
+
+def encode_fake_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """Deterministic stand-in audio: header + seeded int16 PCM samples."""
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-(2**15), 2**15, n_samples, dtype=np.int16).tobytes()
+    return (
+        FAKE_AUDIO_MAGIC + n_samples.to_bytes(4, "big")
+        + sample_rate.to_bytes(4, "big") + pcm
+    )
+
+
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """Audio codec seam → (int16 samples, sample_rate). Real formats
+    (wav/mp3/flac) raise where soundfile/ffmpeg would slot in."""
+    if blob is None:
+        raise ValueError("null blob")
+    if blob[:8] == FAKE_AUDIO_MAGIC:
+        n = int.from_bytes(blob[8:12], "big")
+        sr = int.from_bytes(blob[12:16], "big")
+        return np.frombuffer(blob[16 : 16 + 2 * n], dtype=np.int16), sr
+    raise NotImplementedError("real audio codecs unavailable; plug soundfile here")
+
+
+VIDEO_FRAMES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("frame_blob", T.BinaryType(), True),  # fake-image format
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling over binary video columns: mapInPandas explodes each
+    video into every ``every``-th frame, re-encoded in the fake-image
+    format so the frames feed straight into :func:`image_features` /
+    :func:`image_near_pairs` (dedup across videos = image near-dup over
+    sampled frames). One Arrow batch of videos in memory at a time;
+    output rows are frames, so repartition upstream for very long videos."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_FRAMES.fields]
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                try:
+                    frames = decode_video(blob)
+                    n = frames.shape[0]
+                    for idx in range(0, n, every):
+                        fr = frames[idx]
+                        fr_blob = (
+                            FAKE_MAGIC
+                            + fr.shape[1].to_bytes(4, "big")
+                            + fr.shape[0].to_bytes(4, "big")
+                            + fr.tobytes()
+                        )
+                        rows.append({
+                            "media_id": mid, "frame_idx": idx, "n_frames": n,
+                            "frame_blob": fr_blob,
+                            "mean_luma": round(float(fr.mean()), 4),
+                            "decode_error": None,
+                        })
+                except (NotImplementedError, ValueError, IndexError) as e:
+                    rows.append({
+                        "media_id": mid, "frame_idx": None, "n_frames": None,
+                        "frame_blob": None, "mean_luma": None,
+                        "decode_error": type(e).__name__,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter("kind = 'video'").select("media_id", "blob").mapInPandas(
+        _batches, schema=VIDEO_FRAMES
+    )
+
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over binary audio columns (duration, RMS,
+    zero-crossing count — the cheap curation features), same per-item
+    error isolation as :func:`image_features`."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURES.fields]
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                row = {"media_id": mid, "n_samples": None, "sample_rate": None,
+                       "duration_sec": None, "rms": None, "zero_crossings": None,
+                       "decode_error": None}
+                try:
+                    pcm, sr = decode_audio(blob)
+                    x = pcm.astype(np.float64)
+                    row.update(
+                        n_samples=len(pcm), sample_rate=sr,
+                        duration_sec=round(len(pcm) / sr, 6),
+                        rms=round(float(np.sqrt(np.mean(x * x))), 4),
+                        zero_crossings=int(((pcm[:-1] < 0) != (pcm[1:] < 0)).sum()),
+                    )
+                except (NotImplementedError, ValueError, IndexError) as e:
+                    row["decode_error"] = type(e).__name__
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter("kind = 'audio'").select("media_id", "blob").mapInPandas(
+        _batches, schema=AUDIO_FEATURES
+    )
+
+
 def image_near_pairs(
     media: DataFrame, bits: int = 64, bands: int = 8, max_hamming: int = 6
 ) -> DataFrame:
