@@ -1700,7 +1700,7 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM (
     _hit_cols = ",\n         ".join(f"{hits[l]} AS h_{l}" for l in _langs)
     _best = "greatest(" + ", ".join(f"h_{l}" for l in _langs) + ")"
     _case = (
-        f"CASE WHEN {_best} <= 0 THEN 'und'\n"
+        f"CASE WHEN {_best} IS NULL OR {_best} <= 0 THEN 'und'\n"
         + "\n".join(f"            WHEN h_{l} = {_best} THEN '{l}'" for l in _langs[:-1])
         + f"\n            ELSE '{_langs[-1]}' END"
     )

@@ -116,3 +116,24 @@ def test_lang_id_twenty_languages_accuracy(spark):
     wrong = {k: v for k, v in got.items() if k != v}
     assert not wrong, wrong
     assert set(STOPWORDS) <= set(fixtures)
+
+
+def test_lang_id_arrow_equals_expression(spark, docs):
+    """The Arrow kernel and the pure-SQL expression twin are bit-identical
+    (same counting algorithm, no hash family) — including on unicode
+    whitespace and the 20-language fixture corpus."""
+    from webscraper_spark.operators.textstats import lang_id
+
+    sample = docs.limit(200).select("doc_id", "text")
+    a = {r.doc_id: r.lang_pred for r in lang_id(sample, impl="arrow").collect()}
+    b = {r.doc_id: r.lang_pred for r in lang_id(sample, impl="expr").collect()}
+    assert a == b
+    odd = spark.createDataFrame(
+        [(1, "the and of to a in is it that for"),  # nbsp inside
+         (2, "  le la les  et de \t un une est que pour \n"),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.lang_pred for r in lang_id(odd, impl="arrow").collect()}
+    b = {r.doc_id: r.lang_pred for r in lang_id(odd, impl="expr").collect()}
+    assert a == b

@@ -32,5 +32,6 @@ exec spark-submit \
   --conf spark.sql.session.timeZone=UTC \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   tools/submit_launcher.py \
-  crawl --pages "$PAGES" --seeds "$SEEDS" --hosts "$HOSTS" \
+  crawl --pages "$PAGES" --seeds "$SEEDS" --seeds-format "${SEEDS_FORMAT:-parquet}" \
+  --hosts "$HOSTS" \
   --store "$STORE" --rounds "$ROUNDS" --budget "$BUDGET"

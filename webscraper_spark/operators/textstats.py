@@ -9,8 +9,12 @@ the engine's training-pipeline extension, all JVM-side expressions
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .similarity import POLY_MOD, POLY_MULT, words_sql
 
@@ -67,17 +71,59 @@ def stopword_hits_col(text: str, lang: str) -> Column:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+def _lang_pred_arrow_udf():
+    """Arrow-vectorized language-ID kernel. Unlike the MinHash/SimHash
+    fast kernels this is BIT-IDENTICAL to the expression twin (pure
+    counting over the same frozen STOPWORDS — no hash family to diverge),
+    so the oracle certifies this path directly. Python-dict lookups are
+    O(1) per word vs the interpreted HOF's linear literal scans — ~20×
+    at 20 languages."""
+    langs = list(STOPWORDS)
+    word_langs: dict[str, list[int]] = {}
+    for i, l in enumerate(langs):
+        for w in STOPWORDS[l]:
+            word_langs.setdefault(w, []).append(i)
+    # ASCII \s+ to match Java's regex split in words_sql exactly (Python
+    # str.split would also split on unicode whitespace)
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf(T.StringType())
+    def _pred(texts: pd.Series) -> pd.Series:
+        out = []
+        n = len(langs)
+        for t in texts:
+            counts = [0] * n
+            for w in ws_re.split((t or "").lower()):
+                hit = word_langs.get(w)
+                if hit is not None:
+                    for i in hit:
+                        counts[i] += 1
+            best = max(counts)
+            out.append("und" if best <= 0 else langs[counts.index(best)])
+        return pd.Series(out)
+
+    return _pred
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred",
+            impl: str = "arrow") -> DataFrame:
     """Stopword-profile language ID over the 20 STOPWORDS languages:
     argmax of per-language stopword hit counts; 'und' (undetermined) when
     no profile hits. Deterministic tie-break = STOPWORDS insertion order
-    (first language reaching the max wins), mirrored in the oracle."""
+    (first language reaching the max wins), mirrored in the oracle.
+
+    ``impl='arrow'`` (default) uses the vectorized kernel; ``'expr'``
+    keeps the pure-SQL expression twin (same outputs, parity-tested) for
+    deployments that must stay UDF-free."""
+    if impl == "arrow":
+        return df.withColumn(out_col, _lang_pred_arrow_udf()(F.col(text_col)))
     langs = list(STOPWORDS)
     scored = df.withColumns(
         {f"__hits_{l}": stopword_hits_col(text_col, l) for l in langs}
     )
     best = F.greatest(*[F.col(f"__hits_{l}") for l in langs])
-    pick = F.when(best <= 0, F.lit("und"))
+    # NULL text → NULL hits → 'und' (not a fall-through to the last lang)
+    pick = F.when(best.isNull() | (best <= 0), F.lit("und"))
     for l in langs[:-1]:
         pick = pick.when(F.col(f"__hits_{l}") == best, F.lit(l))
     pick = pick.otherwise(F.lit(langs[-1]))
