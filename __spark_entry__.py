@@ -949,6 +949,8 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "mean_word_len", "stopword_ratio", "punct_ratio", "distinct_word_ratio",
+        "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
+        "max_word_len", "symbol_word_ratio",
         "quality_score",
     )
 
@@ -1648,10 +1650,20 @@ SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM (
   FROM scored) WHERE rank <= 10
 """
 
-    dims = [0, 7, 14, 21, 28, 35, 42, 49]
-    bucket = " || ".join(
-        f"CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END" for d in dims
-    )
+    # random-hyperplane sign bits — mirrors sign_lsh_buckets exactly:
+    # integer coefficients make the products exact and the left-fold sum
+    # order identical, so the bucket keys match bit-for-bit
+    from webscraper_spark.operators.similarity import SIGN_LSH_PLANES
+
+    def _dd_plane_bit(p):
+        lst = "[" + ", ".join(f"{c}::DOUBLE" for c in p) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ({lst})[i])), (acc, v) -> acc + v)"
+        )
+        return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
+
+    bucket = " || ".join(_dd_plane_bit(p) for p in SIGN_LSH_PLANES)
     dot_ab = _dd_dot("a.embedding", "c.embedding")
     n_a = _dd_dot("a.embedding", "a.embedding")
     n_c = _dd_dot("c.embedding", "c.embedding")
@@ -1719,14 +1731,28 @@ WITH f AS (
          (CASE WHEN trim(text) = '' THEN 0 ELSE len({ws}) END)::BIGINT AS n_tokens,
          {hits['en']} AS he,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-         len(list_distinct({ws})) AS n_distinct
+         len(list_distinct({ws})) AS n_distinct,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)), l ->
+             trim(l) LIKE '-%' OR trim(l) LIKE '*%' OR trim(l) LIKE '•%')) AS n_bullet,
+         len(list_filter(string_split(text, chr(10)), l ->
+             trim(l) LIKE '%...' OR trim(l) LIKE '%…')) AS n_ellipsis,
+         len(list_filter({ws}, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         list_max(list_transform({ws}, w -> length(w))) AS maxw,
+         (length(text) - length(replace(text, '#', '')))
+           + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_symbols
   FROM documents),
 r AS (
   SELECT doc_id, n_chars, n_tokens,
          round(CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens END, 4) AS mean_word_len,
          round(CASE WHEN n_tokens > 0 THEN he::DOUBLE / n_tokens END, 4) AS stopword_ratio,
          round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars END, 4) AS punct_ratio,
-         round(CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens END, 4) AS distinct_word_ratio
+         round(CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens END, 4) AS distinct_word_ratio,
+         round(n_bullet::DOUBLE / n_lines, 4) AS bullet_line_ratio,
+         round(n_ellipsis::DOUBLE / n_lines, 4) AS ellipsis_line_ratio,
+         round(CASE WHEN n_tokens > 0 THEN n_alpha::DOUBLE / n_tokens END, 4) AS alpha_word_ratio,
+         (CASE WHEN n_tokens > 0 THEN maxw END)::BIGINT AS max_word_len,
+         round(CASE WHEN n_tokens > 0 THEN n_symbols::DOUBLE / n_tokens END, 4) AS symbol_word_ratio
   FROM f)
 SELECT *, round((
     (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +

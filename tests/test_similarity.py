@@ -294,3 +294,25 @@ def test_simhash_fast_finds_planted_near_dups(spark):
         pairs = {(r.id_a, r.id_b) for r in fn(corpus, max_hamming=6).collect()}
         recall = len(planted & pairs) / len(planted)
         assert recall >= 0.9, f"{name}: recall {recall}"
+
+
+def test_hyperplane_lsh_recall_on_planted_near_dups(spark, embs):
+    """Random-hyperplane sign-LSH: a vector and its tiny perturbation
+    must share the 8-bit bucket (near-identical ⇒ every plane agrees
+    w.h.p.), and the bucketing must actually split the corpus (not one
+    giant bucket)."""
+    from pyspark.sql import functions as F
+
+    from webscraper_spark.operators.similarity import sign_lsh_buckets
+
+    base = embs.limit(30).select("vec_id", "embedding")
+    dup = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    b = sign_lsh_buckets(base.unionByName(dup))
+    buckets = {r.vec_id: r.bucket for r in b.collect()}
+    missed = [i for i in range(30) if buckets[i] != buckets[i + 100000]]
+    # scaling by 1.001 never flips a sign — zero misses by construction
+    assert not missed
+    assert len(set(buckets.values())) >= 4  # corpus actually splits

@@ -137,3 +137,27 @@ def test_lang_id_arrow_equals_expression(spark, docs):
     a = {r.doc_id: r.lang_pred for r in lang_id(odd, impl="arrow").collect()}
     b = {r.doc_id: r.lang_pred for r in lang_id(odd, impl="expr").collect()}
     assert a == b
+
+
+def test_gopher_structural_features(spark):
+    """Hand-computed goldens for the structural quality signals."""
+    from webscraper_spark.operators.textstats import quality_features
+
+    text = "- bullet one\nplain line here...\n* bullet two\nword #tag word…"
+    # lines: 4; bullets: 2 (-, *); ellipsis-enders: 2 ("...", "…")
+    # tokens: 12; alpha words: 10 (the bare "-" and "*" bullets have no
+    # letters); longest word = "here..." = 7
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = quality_features(df).collect()[0]
+    assert r.bullet_line_ratio == 0.5
+    assert r.ellipsis_line_ratio == 0.5
+    assert r.n_tokens == 12
+    assert r.alpha_word_ratio == 0.8333
+    assert r.max_word_len == 7
+    # symbols: one '#', one '...', one '…' → 3/12
+    assert r.symbol_word_ratio == 0.25
+
+    empty = spark.createDataFrame([(2, " ")], "doc_id long, text string")
+    r2 = quality_features(empty).collect()[0]
+    assert r2.n_tokens == 0
+    assert r2.alpha_word_ratio is None and r2.max_word_len is None

@@ -164,6 +164,44 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.when(tokens > 0, F.size(F.array_distinct(words)).cast("double") / tokens),
                 4,
             ),
+            # Gopher-style structural signals (all JVM expressions):
+            # lines starting with bullets / ending with ellipsis, words
+            # containing a letter, longest word, #/ellipsis density
+            "bullet_line_ratio": F.round(
+                F.size(F.expr(f"filter(split({text_col}, '\\n'), l -> "
+                              "trim(l) LIKE '-%' OR trim(l) LIKE '*%' OR trim(l) LIKE '•%')"))
+                .cast("double")
+                / F.size(F.split(F.col(text_col), "\n")),
+                4,
+            ),
+            "ellipsis_line_ratio": F.round(
+                F.size(F.expr(f"filter(split({text_col}, '\\n'), l -> "
+                              "trim(l) LIKE '%...' OR trim(l) LIKE '%…')"))
+                .cast("double")
+                / F.size(F.split(F.col(text_col), "\n")),
+                4,
+            ),
+            "alpha_word_ratio": F.round(
+                F.when(
+                    tokens > 0,
+                    F.size(F.expr(f"filter({words_sql(text_col)}, w -> w rlike '[a-z]')"))
+                    .cast("double") / tokens,
+                ),
+                4,
+            ),
+            "max_word_len": F.when(
+                tokens > 0, F.array_max(F.transform(words, F.length))
+            ).cast("long"),
+            "symbol_word_ratio": F.round(
+                F.when(
+                    tokens > 0,
+                    (
+                        (n_chars - F.length(F.regexp_replace(F.col(text_col), "#", "")))
+                        + F.size(F.expr(f"regexp_extract_all({text_col}, '\\\\.\\\\.\\\\.|…', 0)"))
+                    ).cast("double") / tokens,
+                ),
+                4,
+            ),
         }
     )
 
