@@ -64,3 +64,27 @@ def test_cli_match_partition(spark, demo, capsys):
     # incoming = multiples of 3 in [0,30) + 4 Newcos; crm = evens in [0,30)
     # → matched = multiples of 6 (5 names), unmatched = 5 odd-multiples + 4
     assert res == {"matched": 5, "unmatched": 9}
+
+
+def test_cli_compact(spark, demo, capsys):
+    store = str(demo / "store2")
+    rc = cli.main([
+        "--cores", "8", "crawl",
+        "--pages", str(demo / "corpus" / "pages.parquet"),
+        "--seeds", str(demo / "corpus" / "seeds.parquet"),
+        "--seeds-format", "parquet",
+        "--hosts", str(demo / "corpus" / "hosts.parquet"),
+        "--store", store, "--rounds", "2", "--budget", "3",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.main(["--cores", "8", "compact", "--store", store,
+                   "--tables", "seen,fetched", "--target-partitions", "1"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {l["table"]: l["compacted_through"] for l in lines} == {
+        "seen": 2, "fetched": 2,
+    }
+    # report still works over the compacted store
+    rc = cli.main(["--cores", "8", "report", "--store", store])
+    assert rc == 0

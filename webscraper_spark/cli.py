@@ -68,6 +68,18 @@ def cmd_match(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .sources.tables import TableStore
+
+    spark = _spark(args)
+    store = TableStore(spark, args.store)
+    for t in args.tables.split(","):
+        t = t.strip()
+        k = store.compact(t, target_partitions=args.target_partitions)
+        print(json.dumps({"table": t, "compacted_through": k}))
+    return 0
+
+
 def cmd_report(args) -> int:
     from pyspark.sql import functions as F
 
@@ -127,6 +139,13 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("report", help="per-round lineage/metrics summary")
     r.add_argument("--store", required=True)
     r.set_defaults(fn=cmd_report)
+
+    k = sub.add_parser("compact", help="fold delta-table round partitions into one base")
+    k.add_argument("--store", required=True)
+    k.add_argument("--tables", default="seen,fetched,metrics",
+                   help="comma-separated delta tables (default: seen,fetched,metrics)")
+    k.add_argument("--target-partitions", type=int, default=8)
+    k.set_defaults(fn=cmd_compact)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -59,6 +59,12 @@ class TableStore:
         rounds = self.read_manifest()["committed_rounds"]
         return max(rounds) if rounds else None
 
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path())
+
     def commit_round(self, round_no: int, lineage: dict | None = None) -> None:
         """Atomic commit: manifest tmp-write + rename AFTER all writes.
         A crash before this line leaves round K invisible (resume re-runs
@@ -69,10 +75,7 @@ class TableStore:
         m["committed_rounds"].sort()
         if lineage is not None:
             m.setdefault("lineage", {})[str(round_no)] = lineage
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._manifest_path())
+        self._write_manifest(m)
 
     # --- writes ----------------------------------------------------------
 
@@ -86,17 +89,80 @@ class TableStore:
             shutil.rmtree(path)  # re-run of an uncommitted round
         df.write.mode("overwrite").parquet(path)
 
+    def _base_dir(self, name: str, round_no: int) -> str:
+        return os.path.join(self.root, name, f"base={round_no}")
+
+    def compact(self, name: str, up_to: int | None = None,
+                target_partitions: int = 8) -> int | None:
+        """Small-file compaction for a DELTA table: rewrite all committed
+        round partitions ≤ ``up_to`` (default: everything committed) into
+        one ``base=K`` partition with ``target_partitions`` files.
+
+        After 1000s of crawl rounds a delta table is 1000s of small
+        round directories — at 100 TB that is a metadata/open-file
+        bottleneck on every read. Compaction is the Iceberg
+        ``rewrite_data_files`` analog for this parquet-dir emulation.
+
+        Crash-safe protocol (readers never see a partial state):
+          1. write the union to ``base=K`` (readers ignore it — the
+             manifest still routes them to the old parts);
+          2. atomically flip ``manifest.compacted[name] = K`` (reads now
+             go to the base + rounds > K);
+          3. delete the superseded round dirs and any older base
+             (pure cleanup — a crash here leaves orphans readers skip).
+
+        Read semantics afterwards: ``read_delta`` is unchanged;
+        ``read_round``/``read_delta(up_to < K)`` cannot time-travel below
+        the base (``read_round`` returns None, ``read_delta`` raises)."""
+        m = self.read_manifest()
+        rounds = [r for r in m["committed_rounds"] if up_to is None or r <= up_to]
+        if not rounds:
+            return None
+        k = max(rounds)
+        prev_base = m.get("compacted", {}).get(name)
+        if prev_base is not None and prev_base >= k:
+            return prev_base  # nothing newer to fold in
+        df = self.read_delta(name, up_to=k)
+        if df is None:
+            return None
+        base = self._base_dir(name, k)
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        df.repartition(target_partitions).write.mode("overwrite").parquet(base)
+        m = self.read_manifest()
+        m.setdefault("compacted", {})[name] = k
+        self._write_manifest(m)  # ← the atomic flip
+        for r in rounds:  # cleanup (crash-tolerant: orphans are skipped)
+            p = self._part_dir(name, r)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        if prev_base is not None and prev_base != k:
+            shutil.rmtree(self._base_dir(name, prev_base), ignore_errors=True)
+        return k
+
     # --- reads (committed data only) -------------------------------------
 
     def _committed_parts(self, name: str, up_to: int | None = None) -> list[str]:
-        rounds = self.read_manifest()["committed_rounds"]
+        m = self.read_manifest()
+        rounds = m["committed_rounds"]
         if up_to is not None:
             rounds = [r for r in rounds if r <= up_to]
-        return [
+        parts: list[str] = []
+        base = m.get("compacted", {}).get(name)
+        if base is not None and rounds:
+            if up_to is not None and base > up_to:
+                raise ValueError(
+                    f"table {name!r} is compacted through round {base}; "
+                    f"cannot time-travel to up_to={up_to}"
+                )
+            parts.append(self._base_dir(name, base))
+            rounds = [r for r in rounds if r > base]
+        parts += [
             self._part_dir(name, r)
             for r in rounds
             if os.path.exists(self._part_dir(name, r))
         ]
+        return parts
 
     def read_snapshot(self, name: str, up_to: int | None = None) -> DataFrame | None:
         """Latest committed full-state partition (frontier/hosts)."""
