@@ -183,9 +183,44 @@ def _crawl_round(spark: SparkSession, sf_dir: str, budget: int = 3) -> DataFrame
     )
 
 
+_PYFILES_SHIPPED = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on executor Python workers regardless
+    of the driver's CWD: zip webscraper_spark/ and addPyFile it (the
+    sc-level twin of `spark-submit --py-files`, see tools/submit.sh).
+    No-op when workers can already import it via CWD."""
+    global _PYFILES_SHIPPED
+    if _PYFILES_SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"webscraper_spark_pyfiles_{os.getpid()}.zip"
+    )
+    tmp = zpath + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg = os.path.join(root, "webscraper_spark")
+        for dirpath, _, files in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(dirpath, f)
+                    zf.write(p, os.path.relpath(p, root))
+    os.replace(tmp, zpath)  # atomic: concurrent processes never collide
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SHIPPED = True
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one crawl round (schedule → fetch → extract → discover →
     dedup) over the corpus derived from /root/testdata/sf0.001."""
+    _ship_package(spark)
     return _crawl_round(spark, "/root/testdata/sf0.001")
 
 
@@ -1096,8 +1131,21 @@ def q_image_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+def _shipped(fn: "Callable[[SparkSession, str], DataFrame]"):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _shipped(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         # crawl engine
         "politeness_schedule": q_politeness_schedule,
         "bloom_seen_dedup": q_bloom_seen_dedup,

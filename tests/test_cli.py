@@ -88,3 +88,25 @@ def test_cli_compact(spark, demo, capsys):
     # report still works over the compacted store
     rc = cli.main(["--cores", "8", "report", "--store", store])
     assert rc == 0
+
+
+def test_entry_contract_from_foreign_cwd(tmp_path):
+    """The driver may import __spark_entry__ from any CWD; executors must
+    still import the engine (self-shipped via addPyFile, the sc-level
+    twin of spark-submit --py-files)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as m\n"
+        "from webscraper_spark.session import get_spark\n"
+        "spark = get_spark(cores=4)\n"
+        "print('ROWS', m.entry(spark).count())\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ROWS 24" in out.stdout
