@@ -19,7 +19,7 @@ Column-name + value parity rules observed throughout:
 from __future__ import annotations
 
 from collections.abc import Callable
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1107,6 +1107,42 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-source: raw WARC archives → pages table (Common-Crawl ingestion,
+    `ws/sources/warc.py`). Synthesizes a two-file WARC fixture (one plain,
+    one per-record-gzip — the CC layout) from doc_ids, then runs the real
+    binaryFile → mapInPandas record-split → HTTP-body extract pipeline.
+    Non-200 records are filtered; text comes from the pinned kernel, so
+    the oracle can state it in SQL."""
+    import tempfile
+
+    from webscraper_spark.sources.warc import build_warc, pages_from_warc
+
+    ids = [r.doc_id for r in _read(spark, sf_dir, "documents").select("doc_id").collect()]
+    base = datetime(2025, 7, 25)
+
+    def rec(i):
+        return {
+            "url": f"https://w{i % 7}.example/warc/{i}",
+            "warc_ts": base + timedelta(seconds=i % 86400),
+            "html": (
+                f"<html><head><title>W {i}</title></head>"
+                f"<body><p>doc {i}</p></body></html>"
+            ).encode(),
+            "status": 200 if i % 5 != 4 else 404,
+        }
+
+    ids.sort()
+    half = len(ids) // 2
+    d = tempfile.mkdtemp(prefix="warc_fixture_")
+    with open(f"{d}/a.warc", "wb") as f:
+        f.write(build_warc([rec(i) for i in ids[:half]]))
+    with open(f"{d}/b.warc.gz", "wb") as f:
+        f.write(build_warc([rec(i) for i in ids[half:]], per_record_gzip=True))
+    pages = pages_from_warc(spark, d)
+    return pages.select("url", "warc_ts", "text")
+
+
 def q_image_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: perceptual-hash banded Hamming pairs over the
     binary media column (rows-only; codec stubbed)."""
@@ -1204,6 +1240,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "image_near_pairs": q_image_near_pairs,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -1852,6 +1889,13 @@ SELECT doc_id,
        list_reduce(list_transform({ws}, s -> {_dd_poly('s')}),
                    (acc, h) -> (acc * 131 + h) % {_MOD}) AS fp
 FROM documents
+"""
+
+    sql["warc_ingest"] = """
+SELECT 'https://w' || (doc_id % 7) || '.example/warc/' || doc_id AS url,
+       TIMESTAMP '2025-07-25 00:00:00' + (doc_id % 86400) * INTERVAL 1 SECOND AS warc_ts,
+       'W ' || doc_id || ' doc ' || doc_id AS text
+FROM documents WHERE doc_id % 5 <> 4
 """
 
     # ---- golden VALUES oracles for the non-SQL-expressible queries -------
