@@ -1107,6 +1107,22 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm: distributed Lloyd k-means refinement of the
+    IVF coarse quantizer (3 iterations, 8 centroids, round-6 quantized
+    per step for cross-partitioning determinism). Oracle = sequential
+    pure-Python twin (tools/golden.py). Output exploded as
+    (centroid_id, dim, value) so the compare is scalar-typed."""
+    from webscraper_spark.operators.similarity import ivf_train
+
+    e = _read(spark, sf_dir, "embeddings")
+    cents = ivf_train(e, n_centroids=8, n_iters=3)
+    return cents.select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.posexplode("embedding").alias("dim", "value"),
+    ).select("centroid_id", F.col("dim").cast("long").alias("dim"), "value")
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-source: raw WARC archives → pages table (Common-Crawl ingestion,
     `ws/sources/warc.py`). Synthesizes a two-file WARC fixture (one plain,
@@ -1241,6 +1257,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
         "warc_ingest": q_warc_ingest,
+        "ivf_kmeans": q_ivf_kmeans,
     }
 
 
@@ -1940,6 +1957,9 @@ FROM documents WHERE doc_id % 5 <> 4
             _g.golden_audio_features(30),
             ["media_id", "n_samples", "sample_rate", "duration_sec", "rms",
              "zero_crossings", "decode_error"],
+        )
+        sql["ivf_kmeans"] = _g.values_sql(
+            _g.golden_ivf_kmeans(_gold_sf), ["centroid_id", "dim", "value"]
         )
     except Exception:
         # goldens are additive: if the fixed sf0.01 dir is unavailable the

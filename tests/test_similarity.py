@@ -316,3 +316,44 @@ def test_hyperplane_lsh_recall_on_planted_near_dups(spark, embs):
     # scaling by 1.001 never flips a sign — zero misses by construction
     assert not missed
     assert len(set(buckets.values())) >= 4  # corpus actually splits
+
+
+def test_ivf_train_improves_quantizer(spark, embs):
+    """Lloyd refinement must not worsen the k-means objective: mean
+    max-cosine of vectors to their assigned centroid is >= the untrained
+    (first-8-vectors) quantizer's, and assignment still covers all
+    vectors exactly once."""
+    from webscraper_spark.operators.similarity import ivf_assign, ivf_train
+
+    e = embs.select("vec_id", "embedding")
+
+    def objective(cents):
+        a = ivf_assign(e, cents)
+        from webscraper_spark.operators.similarity import cosine_col
+
+        joined = a.join(
+            cents.select(
+                F.col("vec_id").alias("centroid_id") if "vec_id" in cents.columns
+                else F.col("centroid_id"),
+                F.col("embedding").alias("__c"),
+            ),
+            on="centroid_id",
+        )
+        row = joined.select(
+            F.avg(F.expr("aggregate(zip_with(embedding, __c, (a,b) -> cast(a as double)*b), 0D, (acc,x) -> acc+x) / "
+                         "(sqrt(aggregate(transform(embedding, x -> cast(x as double)*x), 0D, (acc,x) -> acc+x)) * "
+                         "sqrt(aggregate(transform(__c, x -> cast(x as double)*x), 0D, (acc,x) -> acc+x)))")).alias("o"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return row.o, row.n
+
+    n_total = e.count()
+    init = e.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    trained = ivf_train(e, n_centroids=8, n_iters=3)
+    o0, n0 = objective(init.withColumnRenamed("centroid_id", "vec_id"))
+    o1, n1 = objective(trained.withColumnRenamed("centroid_id", "vec_id"))
+    assert n0 == n1 == n_total  # every vector assigned exactly once
+    assert o1 >= o0 - 1e-9, (o0, o1)
+    assert o1 > o0  # on this corpus refinement strictly helps

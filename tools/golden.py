@@ -363,6 +363,59 @@ def golden_simhash_fast_pairs(
     ]
 
 
+def golden_ivf_kmeans(
+    sf_dir: str, n_centroids: int = 8, n_iters: int = 3
+) -> list[dict]:
+    """Sequential twin of ivf_train (Lloyd with round-6 quantization per
+    step): init = lowest-id vectors, assign by max round-6 cosine with
+    centroid-id tie-break, element-wise means rounded to 6, empty
+    clusters keep their centroid. Emitted exploded as (centroid_id, dim,
+    value)."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: [float(x) for x in emb] for vid, emb in rows}
+    ids = sorted(vecs)
+    cents = {cid: [round(x, 6) for x in vecs[cid]] for cid in ids[:n_centroids]}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(dot / (na * nb), 6)
+
+    for _ in range(n_iters):
+        clusters: dict[int, list[int]] = {}
+        for vid in ids:
+            best_cid, best_c = None, None
+            for cid in sorted(cents):
+                c = cos(vecs[vid], cents[cid])
+                if best_c is None or c > best_c:
+                    best_cid, best_c = cid, c
+            clusters.setdefault(best_cid, []).append(vid)
+        new = {}
+        for cid in cents:
+            members = clusters.get(cid)
+            if not members:
+                new[cid] = cents[cid]
+            else:
+                dim = len(cents[cid])
+                new[cid] = [
+                    round(sum(vecs[m][d] for m in members) / len(members), 6)
+                    for d in range(dim)
+                ]
+        cents = new
+    return [
+        {"centroid_id": cid, "dim": d, "value": v}
+        for cid in sorted(cents)
+        for d, v in enumerate(cents[cid])
+    ]
+
+
 # --------------------------------------------------------------------------
 # VALUES-literal SQL emitter
 # --------------------------------------------------------------------------
