@@ -1107,6 +1107,24 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier prioritization: PageRank over the derived corpus's
+    outlink graph (5 damped iterations, dangling mass uniform, round-9
+    quantized per iteration for cross-partitioning determinism). Feeds
+    priorities_from_rank → schedule_round. Oracle = sequential
+    pure-Python twin (tools/golden.py)."""
+    from webscraper_spark.operators.linkrank import pagerank
+
+    d = _read(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id")
+    edges = d.select(i.alias("src"), ((i * 3 + 1) % n).alias("dst")).unionByName(
+        d.select(i.alias("src"), ((i * 7 + 2) % n).alias("dst"))
+    )
+    r = pagerank(edges, n_iters=5)
+    return r.select(F.col("node").cast("long").alias("node"), "rank")
+
+
 def q_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithm: distributed Lloyd k-means refinement of the
     IVF coarse quantizer (3 iterations, 8 centroids, round-6 quantized
@@ -1258,6 +1276,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "audio_features": q_audio_features,
         "warc_ingest": q_warc_ingest,
         "ivf_kmeans": q_ivf_kmeans,
+        "link_rank": q_link_rank,
     }
 
 
@@ -1960,6 +1979,9 @@ FROM documents WHERE doc_id % 5 <> 4
         )
         sql["ivf_kmeans"] = _g.values_sql(
             _g.golden_ivf_kmeans(_gold_sf), ["centroid_id", "dim", "value"]
+        )
+        sql["link_rank"] = _g.values_sql(
+            _g.golden_link_rank(_gold_sf), ["node", "rank"]
         )
     except Exception:
         # goldens are additive: if the fixed sf0.01 dir is unavailable the

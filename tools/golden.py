@@ -363,6 +363,38 @@ def golden_simhash_fast_pairs(
     ]
 
 
+def golden_link_rank(
+    sf_dir: str, n_iters: int = 5, damping: float = 0.85
+) -> list[dict]:
+    """Sequential PageRank twin over the derived-corpus outlink graph
+    (doc i → (3i+1)%n, (7i+2)%n; dedup; dangling mass uniform; round-9
+    per iteration — mirrors operators/linkrank.pagerank exactly)."""
+    from collections import Counter, defaultdict
+
+    ids = _read_doc_ids(sf_dir)
+    n_docs = len(ids)
+    edges = set()
+    for i in ids:
+        edges.add((i, (i * 3 + 1) % n_docs))
+        edges.add((i, (i * 7 + 2) % n_docs))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    rank = {v: round(1.0 / n, 9) for v in nodes}
+    outdeg = Counter(s for s, _ in edges)
+    for _ in range(n_iters):
+        dangling = sum(rank[v] for v in nodes if outdeg.get(v, 0) == 0)
+        contrib: dict = defaultdict(float)
+        for s, d in sorted(edges):
+            contrib[d] += rank[s] / outdeg[s]
+        rank = {
+            v: round(
+                (1 - damping) / n + damping * (contrib.get(v, 0.0) + dangling / n), 9
+            )
+            for v in nodes
+        }
+    return [{"node": v, "rank": rank[v]} for v in nodes]
+
+
 def golden_ivf_kmeans(
     sf_dir: str, n_centroids: int = 8, n_iters: int = 3
 ) -> list[dict]:
