@@ -1109,7 +1109,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier prioritization: PageRank over the derived corpus's
-    outlink graph (5 damped iterations, dangling mass uniform, round-9
+    outlink graph (3 damped iterations, dangling mass uniform, round-9
     quantized per iteration for cross-partitioning determinism). Feeds
     priorities_from_rank → schedule_round. Oracle = sequential
     pure-Python twin (tools/golden.py)."""
@@ -1121,7 +1121,7 @@ def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = d.select(i.alias("src"), ((i * 3 + 1) % n).alias("dst")).unionByName(
         d.select(i.alias("src"), ((i * 7 + 2) % n).alias("dst"))
     )
-    r = pagerank(edges, n_iters=5)
+    r = pagerank(edges, n_iters=3)
     return r.select(F.col("node").cast("long").alias("node"), "rank")
 
 
@@ -1981,7 +1981,7 @@ FROM documents WHERE doc_id % 5 <> 4
             _g.golden_ivf_kmeans(_gold_sf), ["centroid_id", "dim", "value"]
         )
         sql["link_rank"] = _g.values_sql(
-            _g.golden_link_rank(_gold_sf), ["node", "rank"]
+            _g.golden_link_rank(_gold_sf, n_iters=3), ["node", "rank"]
         )
     except Exception:
         # goldens are additive: if the fixed sf0.01 dir is unavailable the

@@ -62,6 +62,12 @@ HEADLINE = [
     "quality_features",
     "lang_id",
     "fingerprint",
+    # round-2 additions: iterative algos, multimodal, raw-archive source
+    "ivf_kmeans",
+    "link_rank",
+    "video_frame_sample",
+    "audio_features",
+    "warc_ingest",
 ]
 
 
