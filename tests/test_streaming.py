@@ -245,3 +245,42 @@ def test_politeness_parity_when_host_skips_a_round(spark, tmp_path):
     assert {u: ts for u, (_, ts) in stream_rows.items()} == {
         u: ts for u, (_, ts) in batch_rows.items()
     }
+
+
+def test_admit_batch_redelivery_is_idempotent(spark, tmp_path):
+    """Direct micro-batch re-delivery (the partial-failure case the
+    availableNow restart test can't reach): re-running the SAME epoch —
+    including after only the seen sink committed — must leave both sinks
+    exactly as a single delivery would."""
+    from webscraper_spark.streaming.rounds import admit_batch
+
+    seen_path = str(tmp_path / "seen_rd")
+    out_path = str(tmp_path / "out_rd")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("url_hash"),
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+        )
+
+    admit_batch(batch(0, 100), 0, seen_path, out_path)
+    admit_batch(batch(50, 150), 1, seen_path, out_path)  # 50 novel
+    snap_out = sorted(r.url_hash for r in spark.read.parquet(out_path).collect())
+    snap_seen = sorted(r.url_hash for r in spark.read.parquet(seen_path).collect())
+    assert len(snap_out) == 150 and len(set(snap_out)) == 150
+
+    # full re-delivery of epoch 1 (e.g. sink committed, checkpoint lost)
+    admit_batch(batch(50, 150), 1, seen_path, out_path)
+    assert sorted(r.url_hash for r in spark.read.parquet(out_path).collect()) == snap_out
+    assert sorted(r.url_hash for r in spark.read.parquet(seen_path).collect()) == snap_seen
+
+    # worst case: epoch 2's SEEN partition committed but out_path did not
+    # (the pre-fix failure mode: redelivered rows vanish from out_path)
+    (batch(140, 200).withColumn("epoch", F.lit(2))
+        .select("url_hash", "epoch")
+        .write.mode("append").parquet(seen_path))
+    admit_batch(batch(140, 200), 2, seen_path, out_path)
+    out_now = sorted(r.url_hash for r in spark.read.parquet(out_path).collect())
+    assert len(out_now) == 200 and len(set(out_now)) == 200  # 150..199 present once
+    seen_now = spark.read.parquet(seen_path)
+    assert seen_now.count() == seen_now.select("url_hash").distinct().count() == 200

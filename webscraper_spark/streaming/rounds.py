@@ -43,6 +43,42 @@ from ..functions.canon import with_canonical
 from ..functions.extract import extract_udf
 
 
+def admit_batch(
+    batch_df: DataFrame, epoch_id: int, seen_path: str, out_path: str
+) -> None:
+    """One micro-batch's admission, IDEMPOTENT under re-delivery: BOTH
+    sinks are epoch-partitioned and written with dynamic partition
+    OVERWRITE, so a redelivered epoch rewrites exactly its own partitions
+    (blind append would duplicate out_path rows; and if the seen append
+    had committed first, the redelivered anti-join would drop the rows
+    from out_path entirely). The seen read excludes the current epoch's
+    own — possibly partially-committed — partition, so redelivery
+    recomputes ``novel`` identically. Directly re-delivery-tested in
+    tests/test_streaming.py."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        try:
+            seen = (
+                spark.read.parquet(seen_path)
+                .filter(F.col("epoch") != epoch_id)
+                .select("url_hash")
+            )
+            novel = batch_df.join(seen, on="url_hash", how="left_anti")
+        except AnalysisException:  # missing path → first epoch
+            novel = batch_df
+        novel = novel.withColumn("epoch", F.lit(epoch_id)).persist()
+        novel.write.mode("overwrite").partitionBy("epoch").parquet(out_path)
+        (novel.select("url_hash", "epoch")
+              .write.mode("overwrite").partitionBy("epoch").parquet(seen_path))
+        novel.unpersist()
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
 def streaming_ingest(
     pages_stream: DataFrame,
     seen_path: str,
@@ -66,36 +102,7 @@ def streaming_ingest(
     )
 
     def _admit(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark = batch_df.sparkSession
-        # Idempotence under micro-batch re-delivery: BOTH sinks are
-        # epoch-partitioned and written with dynamic partition OVERWRITE,
-        # so a redelivered epoch rewrites exactly its own partitions
-        # (blind append would duplicate out_path rows; and if the seen
-        # append had committed first, the redelivered anti-join would
-        # drop the rows from out_path entirely). The seen read excludes
-        # the current epoch's own (possibly partially-committed)
-        # partition so redelivery recomputes `novel` identically.
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            try:
-                seen = (
-                    spark.read.parquet(seen_path)
-                    .filter(F.col("epoch") != epoch_id)
-                    .select("url_hash")
-                )
-                novel = batch_df.join(seen, on="url_hash", how="left_anti")
-            except AnalysisException:  # missing path → first epoch
-                novel = batch_df
-            novel = novel.withColumn("epoch", F.lit(epoch_id)).persist()
-            novel.write.mode("overwrite").partitionBy("epoch").parquet(out_path)
-            (novel.select("url_hash", "epoch")
-                  .write.mode("overwrite").partitionBy("epoch").parquet(seen_path))
-            novel.unpersist()
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        admit_batch(batch_df, epoch_id, seen_path, out_path)
 
     return (
         extracted.writeStream.foreachBatch(_admit)
