@@ -181,8 +181,6 @@ class _PageParser(HTMLParser):
         if self._skip_depth:
             return
         self._sep()
-        if tag == "title":
-            self._in_title = False
         # tag-matched close: find the nearest open element with this tag;
         # a stray end tag (no opener) is ignored, an end tag that skips
         # unclosed children closes them implicitly (innermost first)
@@ -202,6 +200,11 @@ class _PageParser(HTMLParser):
 
     def _on_close(self, node: _Node) -> None:
         """Close-order collectors (the H2 fallback ladder's scan order)."""
+        if node.tag == "title":
+            # tie title capture to node close, not just an explicit
+            # </title>: an implicitly-closed <title> (e.g. via </head> or
+            # EOF) must stop appending page text to title_chunks
+            self._in_title = False
         if node.tag == "span":
             self.span_nodes.append(node)
         if "rating" in node.cls.lower():

@@ -400,7 +400,10 @@ def bloom_filtered_new(
     if bloom is None:
         return anti_join_seen(candidates, seen, key_col)
     if isinstance(bloom, BloomShardStore):
-        maybe_keys = bloom.maybe_seen_keys(candidates, key_col)
+        # persist: the cogrouped per-shard bitmap probe (shuffle +
+        # applyInPandas) feeds BOTH the anti and the semi join below —
+        # unpersisted it would execute twice
+        maybe_keys = bloom.maybe_seen_keys(candidates, key_col).persist()
         definitely_new = candidates.join(maybe_keys, on=key_col, how="left_anti")
         maybe = candidates.join(maybe_keys, on=key_col, how="left_semi")
         return definitely_new.unionByName(anti_join_seen(maybe, seen, key_col))

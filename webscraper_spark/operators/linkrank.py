@@ -24,11 +24,29 @@ from pyspark.sql import functions as F
 def pagerank(
     edges: DataFrame, n_iters: int = 5, damping: float = 0.85,
     src_col: str = "src", dst_col: str = "dst",
+    reliable_checkpoint_dir: str | None = None, tol: float | None = None,
 ) -> DataFrame:
     """PageRank over ``edges(src, dst)``. Nodes = union of both endpoint
     sets; duplicate edges count once; dangling mass (nodes with no
     outlinks) is redistributed uniformly. Returns (node, rank) with
-    ranks summing to ~1."""
+    ranks summing to ~1.
+
+    ``reliable_checkpoint_dir``: when set, per-iteration lineage is cut
+    with reliable ``checkpoint()`` into that directory instead of
+    ``localCheckpoint()`` — local checkpoint blocks die with their
+    executor, so a multi-hour iterative job on a real cluster wants the
+    fault-tolerant variant (the sandbox default stays local: cheaper,
+    single-JVM).
+    ``tol``: optional early stop — iterate until max |Δrank| < tol
+    (costs one extra small agg per iteration, so off by default).
+
+    Quantization scales with graph size: ranks are rounded to
+    ``max(9, ceil(log10 n) + 7)`` decimals — enough to absorb
+    double-addition order noise across partitionings (determinism) while
+    never flattening the ~1/n rank mass to 0.0 on a 10^10-node graph
+    (a fixed 1e-9 grid would)."""
+    import math
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -39,8 +57,21 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+    q = max(9, int(math.ceil(math.log10(n))) + 7)
+    spark = edges.sparkSession
+    if reliable_checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     out_deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    ranks = nodes.withColumn("rank", F.lit(round(1.0 / n, 9)))
+    ranks = nodes.withColumn("rank", F.lit(round(1.0 / n, q)))
     for _ in range(n_iters):
         with_deg = ranks.join(
             out_deg, ranks["node"] == out_deg["src"], "left"
@@ -58,7 +89,8 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
+        prev = ranks
+        ranks = _cut(
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -67,14 +99,22 @@ def pagerank(
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("m") / n),
-                    9,
+                    q,
                 ).alias("rank"),
             )
             # truncate lineage each iteration — without this the nested
             # join plan grows superlinearly and Catalyst analysis time
             # dominates (the standard iterative-DataFrame discipline)
-            .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            delta = (
+                prev.select("node", F.col("rank").alias("__r0"))
+                .join(ranks, on="node")
+                .agg(F.max(F.abs(F.col("rank") - F.col("__r0"))).alias("d"))
+                .first()["d"]
+            )
+            if delta is not None and delta < tol:
+                break
     nodes.unpersist()
     return ranks
 
@@ -93,9 +133,14 @@ def priorities_from_rank(
         ranks.crossJoin(mx)
         .withColumn(
             "priority",
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor(F.log2(F.col("__mx") / F.col("rank"))).cast("int"),
+            F.coalesce(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        F.log2(F.try_divide(F.col("__mx"), F.col("rank")))
+                    ).cast("int"),
+                ),
+                F.lit(n_buckets - 1),  # rank 0/NULL → worst bucket, not NULL
             ).cast("int"),
         )
         .drop("__mx")

@@ -219,7 +219,12 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
     if blob[:8] == FAKE_AUDIO_MAGIC:
         n = int.from_bytes(blob[8:12], "big")
         sr = int.from_bytes(blob[12:16], "big")
-        return np.frombuffer(blob[16 : 16 + 2 * n], dtype=np.int16), sr
+        if sr <= 0:
+            raise ValueError("invalid sample_rate")
+        pcm = np.frombuffer(blob[16 : 16 + 2 * n], dtype=np.int16)
+        if len(pcm) == 0:
+            raise ValueError("empty pcm")
+        return pcm, sr
     raise NotImplementedError("real audio codecs unavailable; plug soundfile here")
 
 
@@ -313,7 +318,8 @@ def audio_features(media: DataFrame) -> DataFrame:
                         rms=round(float(np.sqrt(np.mean(x * x))), 4),
                         zero_crossings=int(((pcm[:-1] < 0) != (pcm[1:] < 0)).sum()),
                     )
-                except (NotImplementedError, ValueError, IndexError) as e:
+                except (NotImplementedError, ValueError, IndexError,
+                        ZeroDivisionError) as e:
                     row["decode_error"] = type(e).__name__
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
