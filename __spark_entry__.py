@@ -957,18 +957,29 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composite training-data curation pass: exact-dedup to the
-    canonical copy, language-ID, quality gate — one declarative plan
-    (what a 100 TB pretraining sweep runs per shard)."""
+    """The composite training-data curation pass, end to end: exact-dedup
+    to the canonical copy, language-ID, quality gate, then EMBED the
+    surviving docs (hashed-trigram projection) and IVF-assign each to
+    its nearest centroid (centroids = embeddings of every 100th doc) —
+    one declarative plan from raw text to an ANN-bucketed corpus (what a
+    100 TB pretraining sweep runs per shard)."""
+    from webscraper_spark.operators.similarity import embed_documents, ivf_assign
+
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     canon = exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
     kept = d.join(canon, on="doc_id", how="left_semi")
     scored = quality_features(lang_id(kept)).withColumn(
         "quality_score", quality_score_col()
     )
-    return scored.filter(
+    gated = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.75)
-    ).select("doc_id", "lang_pred", "quality_score", "n_tokens")
+    ).select("doc_id", "lang_pred", "quality_score", "n_tokens", "text")
+    emb = embed_documents(gated.select("doc_id", "text"))
+    cents = embed_documents(d.filter(F.col("doc_id") % 100 == 0))
+    assigned = ivf_assign(emb, cents, id_col="doc_id", vec_col="embedding")
+    return gated.drop("text").join(
+        assigned.select("doc_id", "centroid_id"), on="doc_id"
+    ).select("doc_id", "lang_pred", "quality_score", "n_tokens", "centroid_id")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1004,6 +1015,51 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_col("text").alias("fp"))
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage dedup: fixed 8-word spans hashed,
+    doc-frequency counted by one narrow groupBy on the hash, spans in
+    ≥2 distinct docs marked dropped. No pair join anywhere in the plan
+    (a boilerplate span shared by 10^6 docs is one aggregate row)."""
+    from webscraper_spark.operators.similarity import passage_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    out = passage_dedup(d, span=8, min_dup_docs=2)
+    return out.select(
+        "doc_id",
+        "passage_idx",
+        "passage_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "keep",
+    )
+
+
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashed char-trigram embedding (signed feature
+    hashing → L2-normalized 64-dim), exploded to (doc_id, dim, val) for
+    the value-hash compare. Closes the pipeline loop: pages.text →
+    embeddings → the ANN/near-dup operators."""
+    from webscraper_spark.operators.similarity import embed_documents
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    e = embed_documents(d)
+    return e.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host curation reputation (dup rate, mean quality, lang mix)
+    over the derived-corpus host mapping — the table
+    :func:`webscraper_spark.operators.hoststats.throttle_admission`
+    joins into frontier admission."""
+    from webscraper_spark.operators.hoststats import host_stats
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "host", F.concat(F.lit("h"), _s(F.col("doc_id") % 8), F.lit(".example"))
+    )
+    return host_stats(d)
 
 
 # ---------------------------------------------------------------------------
@@ -1269,6 +1325,9 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "quality_features": q_quality_features,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "passage_dedup": q_passage_dedup,
+        "embed_documents": q_embed_documents,
+        "host_stats": q_host_stats,
         # multimodal (rows-only)
         "image_features": q_image_features,
         "image_near_pairs": q_image_near_pairs,
@@ -1883,6 +1942,26 @@ SELECT *, round((
 FROM r
 """
 
+    # hashed char-trigram embedding — shared CTE chain (gram index var is
+    # `j`: _dd_poly's inner lambda binds `i` and would shadow it)
+    _dd_embed_ctes = f"""
+et AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+eg AS (SELECT doc_id, unnest(CASE WHEN length(t) >= 3 THEN
+         list_transform(range(1, length(t) - 1), j -> {_dd_poly('substr(t, j, 3)')})
+         ELSE [] END) AS h FROM et),
+es AS (SELECT doc_id, h % 64 AS dim,
+         sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS rv
+       FROM eg GROUP BY 1, 2),
+ed AS (SELECT doc_id, unnest(range(0, 64)) AS dim FROM et),
+ev AS (SELECT ed.doc_id, ed.dim, coalesce(es.rv, 0)::BIGINT AS rv
+       FROM ed LEFT JOIN es ON es.doc_id = ed.doc_id AND es.dim = ed.dim),
+en AS (SELECT doc_id, sqrt(sum((rv * rv)::DOUBLE)) AS nrm FROM ev GROUP BY 1)
+"""
+
+    _dd_cos = (
+        f"round({_dd_dot('m.e', 'c.e')} / "
+        f"(sqrt({_dd_dot('m.e', 'm.e')}) * sqrt({_dd_dot('c.e', 'c.e')})), 6)"
+    )
     sql["curation_pipeline"] = f"""
 WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
 kept AS (SELECT d.doc_id, d.text FROM documents d JOIN canon USING (doc_id)),
@@ -1908,9 +1987,26 @@ q AS (
       (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) +
       (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
       (CASE WHEN distinct_word_ratio >= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality_score
-  FROM r)
-SELECT doc_id, lang_pred, quality_score, n_tokens
-FROM q WHERE lang_pred = 'en' AND quality_score >= 0.75
+  FROM r
+  WHERE lang_pred = 'en'),
+gated AS (
+  SELECT doc_id, lang_pred, quality_score, n_tokens FROM q
+  WHERE quality_score >= 0.75),
+{_dd_embed_ctes},
+emb AS (
+  SELECT ev.doc_id,
+         list(CASE WHEN nrm = 0 THEN 0.0 ELSE round(rv / nrm, 6) END ORDER BY ev.dim) AS e
+  FROM ev JOIN en USING (doc_id) GROUP BY ev.doc_id),
+cents AS (SELECT doc_id AS centroid_id, e FROM emb WHERE doc_id % 100 = 0),
+scored AS (
+  SELECT g.doc_id, g.lang_pred, g.quality_score, g.n_tokens, c.centroid_id,
+         {_dd_cos} AS cc
+  FROM gated g JOIN emb m ON m.doc_id = g.doc_id CROSS JOIN cents c),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cc DESC, centroid_id) AS rn
+  FROM scored)
+SELECT doc_id, lang_pred, quality_score, n_tokens, centroid_id
+FROM best WHERE rn = 1
 """
 
     sql["token_counts"] = rf"""
@@ -1925,6 +2021,57 @@ SELECT doc_id,
        list_reduce(list_transform({ws}, s -> {_dd_poly('s')}),
                    (acc, h) -> (acc * 131 + h) % {_MOD}) AS fp
 FROM documents
+"""
+
+    sql["passage_dedup"] = f"""
+WITH w AS (SELECT doc_id, {ws} AS wl FROM documents),
+p AS (SELECT doc_id, unnest(range(0, len(wl) // 8)) AS passage_idx, wl FROM w),
+h AS (SELECT doc_id, passage_idx,
+        {_dd_poly("array_to_string(list_slice(wl, passage_idx * 8 + 1, passage_idx * 8 + 8), ' ')")} AS passage_hash
+      FROM p),
+c AS (SELECT passage_hash, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY 1)
+SELECT h.doc_id, h.passage_idx::BIGINT AS passage_idx, h.passage_hash,
+       c.n_docs, c.n_docs < 2 AS keep
+FROM h JOIN c USING (passage_hash)
+"""
+
+    sql["embed_documents"] = f"""
+WITH {_dd_embed_ctes}
+SELECT ev.doc_id, ev.dim::BIGINT AS dim,
+       CASE WHEN nrm = 0 THEN 0.0 ELSE round(rv / nrm, 6) END AS val
+FROM ev JOIN en USING (doc_id)
+"""
+
+    sql["host_stats"] = f"""
+WITH d AS (SELECT doc_id, text, lang,
+             'h' || (doc_id % 8) || '.example' AS host FROM documents),
+h AS (
+  SELECT host, lang,
+         list_reduce(list_transform({ws}, s -> {_dd_poly('s')}),
+                     (acc, hh) -> (acc * 131 + hh) % {_MOD}) AS fp,
+         {hits['en']} AS he,
+         length(text)::BIGINT AS n_chars,
+         (CASE WHEN trim(text) = '' THEN 0 ELSE len({ws}) END)::BIGINT AS n_tokens,
+         len(list_distinct({ws})) AS n_distinct
+  FROM d),
+r AS (
+  SELECT host, lang, fp, n_tokens,
+         round(CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens END, 4) AS mean_word_len,
+         round(CASE WHEN n_tokens > 0 THEN he::DOUBLE / n_tokens END, 4) AS stopword_ratio,
+         round(CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens END, 4) AS distinct_word_ratio
+  FROM h),
+q AS (
+  SELECT host, lang, fp, round((
+      (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) +
+      (CASE WHEN mean_word_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) +
+      (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
+      (CASE WHEN distinct_word_ratio >= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality_score
+  FROM r)
+SELECT host, count(*)::BIGINT AS n_docs,
+       round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_rate,
+       round(avg(quality_score), 4) AS mean_quality,
+       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS en_ratio
+FROM q GROUP BY host
 """
 
     sql["warc_ingest"] = """

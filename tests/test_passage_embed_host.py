@@ -1,0 +1,247 @@
+"""Tests for the round-3 first-class operators: passage-level repeated-
+text dedup, hashed-trigram embedding generation, host curation stats +
+admission throttling, and sampled IVF training."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from webscraper_spark.operators.hoststats import host_stats, throttle_admission
+from webscraper_spark.operators.similarity import (
+    cosine_topk,
+    embed_documents,
+    embed_documents_fast,
+    ivf_train,
+    passage_dedup,
+    passage_dedup_doc_stats,
+)
+
+BOILER = "all rights reserved terms of service apply here"  # 8 words
+
+
+def _docs(spark):
+    rows = [
+        (0, BOILER + " alpha beta gamma delta epsilon zeta eta theta"),
+        (1, BOILER + " one two three four five six seven eight"),
+        (2, "unique prose penguin walked across the frozen lake slowly "
+            "carrying nine small fish home before sunset tonight ok"),
+        (3, BOILER + " " + BOILER),  # boilerplate twice in one doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- passage dedup -----------------------------------------------------------
+
+def test_passage_dedup_planted_recall(spark):
+    out = passage_dedup(_docs(spark), span=8, min_dup_docs=2).collect()
+    by_key = {(r["doc_id"], r["passage_idx"]): r for r in out}
+    # the boilerplate span opens docs 0, 1, 3 → dropped everywhere
+    for doc in (0, 1, 3):
+        assert by_key[(doc, 0)]["keep"] is False
+        assert by_key[(doc, 0)]["n_docs"] == 3
+    # doc 3's second copy of the same span is also dropped
+    assert by_key[(3, 1)]["keep"] is False
+    # the unique tails survive
+    assert by_key[(0, 1)]["keep"] is True
+    assert by_key[(2, 0)]["keep"] is True
+    assert by_key[(2, 1)]["keep"] is True
+
+
+def test_passage_dedup_doc_stats(spark):
+    stats = {
+        r["doc_id"]: r
+        for r in passage_dedup_doc_stats(
+            passage_dedup(_docs(spark), span=8, min_dup_docs=2)
+        ).collect()
+    }
+    assert stats[3]["n_passages"] == 2 and stats[3]["n_dropped"] == 2
+    assert stats[3]["kept_ratio"] == 0.0 and stats[3]["kept_idx"] == []
+    assert stats[0]["n_passages"] == 2 and stats[0]["n_dropped"] == 1
+    assert stats[0]["kept_idx"] == [1]
+    assert stats[2]["kept_ratio"] == 1.0
+
+
+def test_passage_dedup_short_doc_empty(spark):
+    d = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    assert passage_dedup(d, span=8).count() == 0
+
+
+def test_passage_dedup_no_pair_join(spark):
+    # scale guard: the plan never joins passages against passages — the
+    # only join is passage→(hash, df) agg, so no self-join on an exploded
+    # generator column appears
+    df = passage_dedup(_docs(spark), span=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate posexplode") <= 2  # probe + agg sides only
+
+
+def test_passage_dedup_portable_vs_xxhash_same_verdicts(spark):
+    # production hash family must produce the same keep/drop verdicts
+    a = passage_dedup(_docs(spark), portable=True).select(
+        "doc_id", "passage_idx", "keep"
+    )
+    b = passage_dedup(_docs(spark), portable=False).select(
+        "doc_id", "passage_idx", "keep"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# -- embedding generation ----------------------------------------------------
+
+def test_embed_expr_vs_kernel_bit_identical(spark, sdfs):
+    d = sdfs["pages"].select(
+        F.xxhash64("url").alias("doc_id"), F.col("text")
+    ).limit(120)
+    a = {r["doc_id"]: r["embedding"] for r in embed_documents(d).collect()}
+    b = {r["doc_id"]: r["embedding"] for r in embed_documents_fast(d).collect()}
+    assert a == b
+
+
+def test_embed_unit_norm_and_shape(spark):
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog repeatedly")],
+        "doc_id long, text string",
+    )
+    [row] = embed_documents(d).collect()
+    emb = row["embedding"]
+    assert len(emb) == 64
+    assert abs(sum(x * x for x in emb) - 1.0) < 1e-4
+
+
+def test_embed_degenerate_inputs(spark):
+    d = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["embedding"] for r in embed_documents(d).collect()}
+    assert out[1] == [0.0] * 64
+    assert out[2] == [0.0] * 64
+    fast = {r["doc_id"]: r["embedding"] for r in embed_documents_fast(d).collect()}
+    assert fast[1] == [0.0] * 64 and fast[2] == [0.0] * 64
+    # NULL text: expression yields NULL, kernel yields zeros — both are
+    # "no embedding"; assert the kernel's explicit contract
+    assert fast[3] == [0.0] * 64
+
+
+def test_embed_similar_texts_closer_than_random(spark):
+    rows = [
+        (1, "spark shuffles data between executors during wide transformations"),
+        (2, "spark shuffles data between executors during wide transformation"),
+        (3, "penguins huddle together through the long antarctic winter night"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = embed_documents(d)
+    q = emb.filter(F.col("doc_id") == 1).select(
+        F.col("doc_id"), F.col("embedding")
+    )
+    top = cosine_topk(emb, q, k=2, id_col="doc_id").collect()
+    assert top[0]["doc_id"] == 2 and top[0]["cosine"] > 0.9
+    assert top[1]["cosine"] < top[0]["cosine"]
+
+
+# -- host stats + admission throttle ----------------------------------------
+
+GOOD = ("the quick brown fox jumps over the lazy dog while many other "
+        "words keep this document long and varied enough for the gate "
+        "to score it as quality text with plenty of stopwords in it")
+
+
+def _host_docs(spark):
+    rows = []
+    for i in range(6):  # good.example: varied, english, long
+        rows.append((i, "good.example", GOOD + f" variant {i}", "en"))
+    for i in range(6):  # dup.example: one page six times
+        rows.append((10 + i, "dup.example", GOOD, "en"))
+    for i in range(6):  # junk.example: short low-quality fragments
+        rows.append((20 + i, "junk.example", f"buy cheap {i}", "en"))
+    return spark.createDataFrame(
+        rows, "doc_id long, host string, text string, lang string"
+    )
+
+
+def test_host_stats_values(spark):
+    s = {r["host"]: r for r in host_stats(_host_docs(spark)).collect()}
+    assert s["good.example"]["dup_rate"] == 0.0
+    assert s["dup.example"]["dup_rate"] == pytest.approx(1 - 1 / 6, abs=1e-4)
+    assert s["good.example"]["mean_quality"] >= 0.75
+    assert s["junk.example"]["mean_quality"] <= 0.5
+    assert s["good.example"]["en_ratio"] == 1.0
+
+
+def test_admission_throttles_bad_hosts(spark):
+    stats = host_stats(_host_docs(spark))
+    frontier = spark.createDataFrame(
+        [
+            ("https://good.example/a", "good.example", 1),
+            ("https://dup.example/a", "dup.example", 1),
+            ("https://junk.example/a", "junk.example", 1),
+            ("https://new.example/a", "new.example", 1),
+        ],
+        "url string, host string, priority int",
+    )
+    kept = throttle_admission(
+        frontier, stats, max_dup_rate=0.5, min_quality=0.6
+    )
+    hosts = {r["host"] for r in kept.collect()}
+    # duplicate-farm and junk hosts dropped; good host and the
+    # never-seen host (no evidence) admitted
+    assert hosts == {"good.example", "new.example"}
+
+
+def test_admission_demotes_non_english_host(spark):
+    rows = [(i, "fr.example", GOOD + f" v{i}", "fr") for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, host string, text string, lang string"
+    )
+    frontier = spark.createDataFrame(
+        [("https://fr.example/a", "fr.example", 1)],
+        "url string, host string, priority int",
+    )
+    [r] = throttle_admission(frontier, host_stats(docs)).collect()
+    assert r["priority"] == 5  # demoted by 4, not dropped
+
+
+# -- sampled IVF training ----------------------------------------------------
+
+def test_ivf_train_sampled_deterministic(spark, sdfs):
+    emb = embed_documents_fast(
+        sdfs["pages"].select(F.xxhash64("url").alias("vec_id"), "text").limit(200),
+        id_col="vec_id",
+    )
+    a = ivf_train(emb, n_centroids=4, n_iters=2, sample_fraction=0.5, seed=7)
+    b = ivf_train(emb, n_centroids=4, n_iters=2, sample_fraction=0.5, seed=7)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert [r[0] for r in ra] == [r[0] for r in rb]
+    assert [list(r[1]) for r in ra] == [list(r[1]) for r in rb]
+
+
+def test_ivf_train_sampled_objective_reasonable(spark, sdfs):
+    from webscraper_spark.operators.similarity import ivf_assign
+
+    emb = embed_documents_fast(
+        sdfs["pages"].select(F.xxhash64("url").alias("vec_id"), "text").limit(200),
+        id_col="vec_id",
+    ).persist()
+
+    def objective(cents):
+        from webscraper_spark.operators.similarity import cosine_col
+
+        assigned = ivf_assign(emb, cents.select(
+            F.col("centroid_id").alias("vec_id"), F.col("embedding")
+        ))
+        joined = assigned.alias("a").join(
+            cents.alias("c"),
+            F.col("a.centroid_id") == F.col("c.centroid_id"),
+        )
+        return joined.agg(
+            F.avg(cosine_col("a.embedding", "c.embedding")).alias("o")
+        ).first()["o"]
+
+    init = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    trained = ivf_train(emb, n_centroids=4, n_iters=3, sample_fraction=0.6, seed=3)
+    assert objective(trained) >= objective(init) - 1e-6
+    emb.unpersist()
