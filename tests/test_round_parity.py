@@ -41,7 +41,8 @@ def sim_run(corpus):
     )
 
 
-_TIMING_KEYS = {"elapsed_sec", "eta_sec"}  # wall-clock, excluded from parity
+# wall-clock + engine-internal keys, excluded from reference parity
+_TIMING_KEYS = {"elapsed_sec", "eta_sec", "bloom_mode_used"}
 
 
 def test_lineage_counts_match(engine_run, sim_run):

@@ -145,6 +145,31 @@ def build_bloom_shards(
     )
 
 
+def bloom_bytes_estimate(n_keys: int, fpp: float = 0.01) -> int:
+    """Bytes the Bloom seen-set will occupy for ``n_keys`` at ``fpp``
+    (the standard -n·ln(p)/ln²2 bits sizing used by BloomShard.build)."""
+    if n_keys <= 0:
+        return 0
+    return int(-n_keys * math.log(fpp) / (math.log(2) ** 2) / 8) + 1
+
+
+def choose_bloom_mode(
+    n_keys: int, executor_mem_bytes: int, fpp: float = 0.01
+) -> str:
+    """Pick the probe topology from the memory envelope — the documented
+    flip point made automatic: a broadcast probe ships the WHOLE filter
+    to every executor, so once the filter exceeds ~¼ of executor memory
+    the shard-cogrouped store (per-shard memory, one narrow candidate
+    shuffle) wins. At the SCALE.md design point (10^10 keys ≈ 12 GB of
+    filter) broadcast is never viable; at steady sandbox scale (10^6-10^8
+    keys, MBs) broadcast avoids the extra shuffle."""
+    return (
+        "sharded"
+        if bloom_bytes_estimate(n_keys, fpp) > executor_mem_bytes // 4
+        else "broadcast"
+    )
+
+
 class BloomSeenSet:
     """Driver-held handle over collected shard bitmaps, probed vectorized
     inside executors via a broadcast dict (shard → BloomShard)."""

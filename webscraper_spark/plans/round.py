@@ -40,6 +40,7 @@ from ..operators.dedup import (
     CuckooSeenSet,
     anti_join_seen,
     bloom_filtered_new,
+    choose_bloom_mode,
     dedup_latest,
 )
 from ..operators.schedule import advance_host_clocks, schedule_round
@@ -50,6 +51,15 @@ BASE_ROUND_EPOCH = datetime(2025, 7, 25, 0, 0, 0)
 ROUND_INTERVAL = timedelta(hours=1)
 RETRY_BACKOFF = timedelta(minutes=30)
 N_METRIC_SHARDS = 32
+
+
+def _parse_mem(s: str) -> int:
+    """Parse a Spark memory string ('512m', '4g', '1t', bare bytes)."""
+    s = s.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
 
 
 def round_clock(round_no: int) -> datetime:
@@ -112,7 +122,8 @@ def run_round(
     n_salt: int = 1,
     bloom_shards: int = 32,
     recrawl: DataFrame | None = None,
-    bloom_mode: str = "broadcast",
+    bloom_mode: str = "auto",
+    executor_mem_bytes: int | None = None,
 ) -> dict:
     """Execute round ``round_no`` (requires round ``round_no - 1``
     committed). Returns the round's lineage counts.
@@ -123,6 +134,12 @@ def run_round(
     priority, and re-added to ``seen`` as discovered this round. With
     deletions present the fast membership path switches from Bloom to the
     deletion-capable cuckoo filters.
+
+    ``bloom_mode``: "auto" (default) sizes the filter from the seen count
+    and flips broadcast→sharded past ¼ of executor memory
+    (``executor_mem_bytes`` overrides the ``spark.executor.memory`` conf);
+    "broadcast"/"sharded" force a topology (both output-equivalent,
+    tested).
     """
     t_round0 = _time.monotonic()
     prev = round_no - 1
@@ -231,6 +248,17 @@ def run_round(
     if recrawl_rows is not None:
         seen_admit = seen_admit.unionByName(recrawl_rows.select("url_hash"))
     fast = None
+    if use_bloom and bloom_mode == "auto":
+        # automatic flip point (was a caller decision): size the filter
+        # from the seen count and go sharded once a broadcast copy would
+        # eat >¼ of executor memory. One cheap single-column count; the
+        # 10^10-key design point always lands sharded here.
+        mem = executor_mem_bytes
+        if mem is None:
+            mem = _parse_mem(
+                pages_latest.sparkSession.conf.get("spark.executor.memory", "1g")
+            )
+        bloom_mode = choose_bloom_mode(seen_admit.count(), mem)
     if use_bloom:
         if deletes is not None or recrawl_rows is not None:
             # deletions in play → deletion-capable cuckoo filters; this
@@ -379,6 +407,11 @@ def run_round(
         "missed": int(agg["m"] or 0),
         "new_urls": int(agg["n"] or 0),
         "elapsed_sec": elapsed_sec,
+        "bloom_mode_used": (
+            "cuckoo" if isinstance(fast, CuckooSeenSet)
+            else "sharded" if isinstance(fast, BloomShardStore)
+            else "broadcast" if fast is not None else "none"
+        ),
     }
     if recrawl_rows is not None:
         lineage["recrawled"] = recrawl_rows.count()
