@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ..functions.png import PNG_SIGNATURE, png_to_gray
+
 MEDIA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -67,16 +69,20 @@ _PIL = _try_import_pil()
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Codec seam: fake format always decodes; real formats decode to
-    8-bit grayscale via PIL when it is importable, else raise — the
-    feature extractors downstream turn that into an error row (C7), never
-    a task failure."""
+    """Codec seam: the fake format always decodes; PNG decodes via the
+    pure-Python stdlib decoder (``functions.png`` — environment-
+    independent, bit-identical to PIL's convert("L") on the same bytes,
+    parity skip-tested); other real formats decode to 8-bit grayscale
+    via PIL when importable, else raise — the feature extractors
+    downstream turn that into an error row (C7), never a task failure."""
     if blob is None:
         raise ValueError("null blob")
     if blob[:8] == FAKE_MAGIC:
         w = int.from_bytes(blob[8:12], "big")
         h = int.from_bytes(blob[12:16], "big")
         return np.frombuffer(blob[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
+    if blob[:8] == PNG_SIGNATURE:
+        return png_to_gray(blob)
     if _PIL is not None:
         import io
 
