@@ -68,6 +68,11 @@ HEADLINE = [
     "video_frame_sample",
     "audio_features",
     "warc_ingest",
+    # round-3 additions: passage dedup, embedding generation, host stats
+    "passage_dedup",
+    "embed_documents",
+    "host_stats",
+    "curation_pipeline",
 ]
 
 

@@ -239,10 +239,36 @@ def _decode(html: bytes | str | None) -> str | None:
     return html
 
 
-def parse_page(html: bytes | str | None) -> _PageParser | None:
+# Tokenizer kernel: "fast" (fused scanning parser, functions/fastparse.py)
+# with automatic bailout to the stdlib html.parser spec twin; "stdlib"
+# forces the twin everywhere (the parity tests run both and assert
+# byte-identical output). Env override is read at import so executor
+# Python workers honor it too.
+import os as _os
+
+_KERNEL = _os.environ.get("WS_SPARK_HTML_KERNEL", "fast")
+
+
+def set_parse_kernel(kernel: str) -> None:
+    global _KERNEL
+    if kernel not in ("fast", "stdlib"):
+        raise ValueError(kernel)
+    _KERNEL = kernel
+
+
+def parse_page(html: bytes | str | None, kernel: str | None = None) -> _PageParser | None:
     s = _decode(html)
     if s is None:
         return None
+    if (kernel or _KERNEL) == "fast":
+        from .fastparse import FastParseBailout, fast_parse
+
+        try:
+            return fast_parse(s)
+        except FastParseBailout:
+            pass  # outside the verified fast grammar → stdlib twin
+        except Exception:
+            return None
     p = _PageParser()
     try:
         p.feed(s)
