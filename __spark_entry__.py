@@ -963,7 +963,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     its nearest centroid (centroids = embeddings of every 100th doc) —
     one declarative plan from raw text to an ANN-bucketed corpus (what a
     100 TB pretraining sweep runs per shard)."""
-    from webscraper_spark.operators.similarity import embed_documents, ivf_assign
+    from webscraper_spark.operators.similarity import (
+        embed_documents_fast,
+        ivf_assign,
+    )
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     canon = exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
@@ -974,8 +977,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.75)
     ).select("doc_id", "lang_pred", "quality_score", "n_tokens", "text")
-    emb = embed_documents(gated.select("doc_id", "text"))
-    cents = embed_documents(d.filter(F.col("doc_id") % 100 == 0))
+    # Arrow embed kernel — bit-identical to the oracle expression twin
+    emb = embed_documents_fast(gated.select("doc_id", "text"))
+    cents = embed_documents_fast(d.filter(F.col("doc_id") % 100 == 0))
     assigned = ivf_assign(emb, cents, id_col="doc_id", vec_col="embedding")
     return gated.drop("text").join(
         assigned.select("doc_id", "centroid_id"), on="doc_id"
@@ -1039,11 +1043,18 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hashed char-trigram embedding (signed feature
     hashing → L2-normalized 64-dim), exploded to (doc_id, dim, val) for
     the value-hash compare. Closes the pipeline loop: pages.text →
-    embeddings → the ANN/near-dup operators."""
-    from webscraper_spark.operators.similarity import embed_documents
+    embeddings → the ANN/near-dup operators.
+
+    Runs the Arrow production kernel; the DuckDB oracle checks it
+    directly because the kernel is BIT-IDENTICAL to the interpreted
+    expression twin (same polynomial hash over codepoints, same signed
+    bincount, same HALF_UP rounding — asserted in
+    tests/test_passage_embed_host.py), so the hash compare certifies
+    the fast path itself, ~20× the HOF form."""
+    from webscraper_spark.operators.similarity import embed_documents_fast
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    e = embed_documents(d)
+    e = embed_documents_fast(d)
     return e.select(
         "doc_id", F.posexplode("embedding").alias("dim", "val")
     ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
