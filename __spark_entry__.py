@@ -1039,6 +1039,16 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_passage_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumable side of passage dedup: per-document text rebuilt
+    from only the passages NOT repeated across documents (what a
+    training pipeline feeds the tokenizer)."""
+    from webscraper_spark.operators.similarity import passage_filter_text
+
+    d = _read(spark, sf_dir, "documents")
+    return passage_filter_text(d, span=8, min_dup_docs=2)
+
+
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hashed char-trigram embedding (signed feature
     hashing → L2-normalized 64-dim), exploded to (doc_id, dim, val) for
@@ -1337,6 +1347,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "passage_dedup": q_passage_dedup,
+        "passage_clean_text": q_passage_clean_text,
         "embed_documents": q_embed_documents,
         "host_stats": q_host_stats,
         # multimodal (rows-only)
@@ -2044,6 +2055,22 @@ c AS (SELECT passage_hash, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY 1)
 SELECT h.doc_id, h.passage_idx::BIGINT AS passage_idx, h.passage_hash,
        c.n_docs, c.n_docs < 2 AS keep
 FROM h JOIN c USING (passage_hash)
+"""
+
+    sql["passage_clean_text"] = f"""
+WITH w AS (SELECT doc_id, {ws} AS wl FROM documents),
+p AS (SELECT doc_id, unnest(range(0, len(wl) // 8)) AS passage_idx, wl FROM w),
+h AS (SELECT doc_id, passage_idx,
+        array_to_string(list_slice(wl, passage_idx * 8 + 1, passage_idx * 8 + 8), ' ') AS passage
+      FROM p),
+hh AS (SELECT doc_id, passage_idx, passage, {_dd_poly('passage')} AS passage_hash FROM h),
+c AS (SELECT passage_hash, count(DISTINCT doc_id) AS n_docs FROM hh GROUP BY 1)
+SELECT hh.doc_id,
+       string_agg(hh.passage, ' ' ORDER BY hh.passage_idx) AS clean_text,
+       count(*)::BIGINT AS n_kept_passages
+FROM hh JOIN c USING (passage_hash)
+WHERE c.n_docs < 2
+GROUP BY hh.doc_id
 """
 
     sql["embed_documents"] = f"""

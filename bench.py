@@ -70,6 +70,7 @@ HEADLINE = [
     "warc_ingest",
     # round-3 additions: passage dedup, embedding generation, host stats
     "passage_dedup",
+    "passage_clean_text",
     "embed_documents",
     "host_stats",
     "curation_pipeline",

@@ -245,3 +245,86 @@ def test_ivf_train_sampled_objective_reasonable(spark, sdfs):
     trained = ivf_train(emb, n_centroids=4, n_iters=3, sample_fraction=0.6, seed=3)
     assert objective(trained) >= objective(init) - 1e-6
     emb.unpersist()
+
+
+def test_run_round_host_reputation_gate(spark, sdfs, tmp_path):
+    """End-to-end: a host marked as a duplicate farm in the reputation
+    table contributes ZERO newly-admitted frontier URLs, while the
+    ungated run admits some; all other hosts are unaffected."""
+    from webscraper_spark.plans.round import run_crawl
+    from webscraper_spark.sources.tables import TableStore
+
+    def crawl(subdir, rep):
+        store = TableStore(spark, str(tmp_path / subdir))
+        run_crawl(
+            store, sdfs["pages"], sdfs["seeds"], sdfs["hosts"],
+            n_rounds=1, per_host_budget=3, host_reputation=rep,
+        )
+        frontier = store.read_snapshot("frontier", up_to=1)
+        return frontier.filter(F.col("discovered_round") == 1)
+
+    ungated = crawl("ungated", None)
+    bad_host = ungated.groupBy("host").count().orderBy(
+        F.col("count").desc()
+    ).first()["host"]
+    rep = spark.createDataFrame(
+        [(bad_host, 100, 0.99, 0.9, 1.0)],
+        "host string, n_docs long, dup_rate double, mean_quality double, en_ratio double",
+    )
+    gated = crawl("gated", rep)
+    assert ungated.filter(F.col("host") == bad_host).count() > 0
+    assert gated.filter(F.col("host") == bad_host).count() == 0
+    # other hosts unaffected
+    a = ungated.filter(F.col("host") != bad_host).count()
+    b = gated.filter(F.col("host") != bad_host).count()
+    assert a == b
+
+
+# -- Arrow IVF assignment kernel ---------------------------------------------
+
+def test_ivf_assign_fast_matches_declarative(spark):
+    from webscraper_spark.operators.similarity import ivf_assign, ivf_assign_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8)
+    slow = {r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign(emb, cents).collect()}
+    fast = {r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign_fast(emb, cents).collect()}
+    assert slow == fast
+
+
+def test_ivf_assign_fast_zero_vector_and_empty_centroids(spark):
+    from webscraper_spark.operators.similarity import ivf_assign_fast
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["centroid_id"]
+           for r in ivf_assign_fast(emb, cents).collect()}
+    assert out[2] == 10
+    assert out[1] == 10  # zero vector: all cosines 0 → smallest id
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ivf_assign_fast(emb, cents.filter("vec_id < 0"))
+
+
+def test_passage_filter_text_reconstruction(spark):
+    from webscraper_spark.operators.similarity import passage_filter_text
+
+    out = {r["doc_id"]: r for r in
+           passage_filter_text(_docs(spark), span=8, min_dup_docs=2).collect()}
+    # boilerplate opener removed, unique tail kept verbatim
+    assert out[0]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[0]["n_kept_passages"] == 1
+    assert out[1]["clean_text"] == "one two three four five six seven eight"
+    # all-boilerplate doc drops out entirely
+    assert 3 not in out
+    # fully-unique doc reassembles in order
+    assert out[2]["clean_text"].startswith("unique prose penguin")
+    assert out[2]["n_kept_passages"] == 2

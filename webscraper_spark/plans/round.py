@@ -43,6 +43,7 @@ from ..operators.dedup import (
     choose_bloom_mode,
     dedup_latest,
 )
+from ..operators.hoststats import throttle_admission
 from ..operators.schedule import advance_host_clocks, schedule_round
 from ..schemas import FETCHED, FRONTIER, SEEN
 from ..sources.tables import TableStore
@@ -124,6 +125,7 @@ def run_round(
     recrawl: DataFrame | None = None,
     bloom_mode: str = "auto",
     executor_mem_bytes: int | None = None,
+    host_reputation: DataFrame | None = None,
 ) -> dict:
     """Execute round ``round_no`` (requires round ``round_no - 1``
     committed). Returns the round's lineage counts.
@@ -140,6 +142,12 @@ def run_round(
     (``executor_mem_bytes`` overrides the ``spark.executor.memory`` conf);
     "broadcast"/"sharded" force a topology (both output-equivalent,
     tested).
+
+    ``host_reputation``: optional :func:`..operators.hoststats.host_stats`
+    table — discovered URLs from hosts over the dup-rate / under the
+    quality thresholds are dropped at admission, low-English hosts
+    demoted (see ``throttle_admission``). Typically computed from the
+    previous rounds' ``fetched`` text.
     """
     t_round0 = _time.monotonic()
     prev = round_no - 1
@@ -278,7 +286,16 @@ def run_round(
             fast = BloomShardStore.build(seen_admit, n_shards=bloom_shards)
         else:
             fast = BloomSeenSet.build(seen_admit, n_shards=bloom_shards)
-    new_urls = bloom_filtered_new(candidates, seen_admit, fast).select(
+    admitted = bloom_filtered_new(candidates, seen_admit, fast)
+    if host_reputation is not None:
+        # host-reputation gate on admission: candidates from duplicate-
+        # farm / junk hosts never enter the frontier, low-English hosts
+        # are demoted (the CC-scale host filter; unknown hosts pass)
+        admitted = throttle_admission(
+            admitted.withColumnRenamed("__pprio", "priority"),
+            host_reputation,
+        ).withColumnRenamed("priority", "__pprio")
+    new_urls = admitted.select(
         "url_hash",
         "url",
         "host",
