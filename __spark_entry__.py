@@ -965,7 +965,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB pretraining sweep runs per shard)."""
     from webscraper_spark.operators.similarity import (
         embed_documents_fast,
-        ivf_assign,
+        ivf_assign_fast,
     )
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -977,10 +977,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = scored.filter(
         (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.75)
     ).select("doc_id", "lang_pred", "quality_score", "n_tokens", "text")
-    # Arrow embed kernel — bit-identical to the oracle expression twin
+    # Arrow kernels throughout: embed is bit-identical to the oracle
+    # expression twin; assignment is the matmul kernel (same round-6 +
+    # smallest-id contract, equivalence-tested vs the declarative form)
     emb = embed_documents_fast(gated.select("doc_id", "text"))
     cents = embed_documents_fast(d.filter(F.col("doc_id") % 100 == 0))
-    assigned = ivf_assign(emb, cents, id_col="doc_id", vec_col="embedding")
+    assigned = ivf_assign_fast(emb, cents, id_col="doc_id", vec_col="embedding")
     return gated.drop("text").join(
         assigned.select("doc_id", "centroid_id"), on="doc_id"
     ).select("doc_id", "lang_pred", "quality_score", "n_tokens", "centroid_id")
