@@ -328,3 +328,66 @@ def test_passage_filter_text_reconstruction(spark):
     # fully-unique doc reassembles in order
     assert out[2]["clean_text"].startswith("unique prose penguin")
     assert out[2]["n_kept_passages"] == 2
+
+
+def test_ivf_train_tol_early_stop(spark):
+    # four tight, well-separated clusters: Lloyd reaches its exact fixed
+    # point after one refinement; with tol set, wildly different
+    # n_iters caps must land on the identical quantized centroids
+    rows = []
+    anchors = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0),
+               (0.6, 0.6, 0.0)]
+    vid = 0
+    for ax, ay, az in anchors:
+        for j in range(5):
+            eps = 0.001 * j
+            rows.append((vid, [ax + eps, ay, az]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, ivf_train(emb, n_centroids=4, n_iters=3,
+                                    tol=1e-9).collect()))
+    b = sorted(map(tuple, ivf_train(emb, n_centroids=4, n_iters=40,
+                                    tol=1e-9).collect()))
+    assert [r[0] for r in a] == [r[0] for r in b]
+    assert [list(r[1]) for r in a] == [list(r[1]) for r in b]
+
+
+def test_host_stats_from_store(spark, sdfs, tmp_path):
+    from webscraper_spark.operators.hoststats import host_stats_from_store
+    from webscraper_spark.plans.round import run_crawl
+    from webscraper_spark.sources.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "rep"))
+    assert host_stats_from_store(store) is None  # nothing fetched yet
+    run_crawl(store, sdfs["pages"], sdfs["seeds"], sdfs["hosts"],
+              n_rounds=1, per_host_budget=3)
+    stats = host_stats_from_store(store, up_to=1)
+    rows = stats.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert r["n_docs"] > 0
+
+
+def test_text_to_embedding_near_dup_end_to_end(spark):
+    """Close the loop: raw near-duplicate TEXTS → generated embeddings →
+    sign-LSH bucketed near-pair search finds the planted pair and not
+    the unrelated one."""
+    from webscraper_spark.operators.similarity import embedding_near_pairs
+
+    rows = [
+        (1, "the training corpus pipeline deduplicates documents before "
+            "tokenization and filters by language and quality signals"),
+        (2, "the training corpus pipeline deduplicates documents before "
+            "tokenization and filters by language and quality signal"),
+        (3, "completely unrelated penguin colony thrives on antarctic "
+            "krill through perpetual winter darkness every single year"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = embed_documents_fast(d, id_col="doc_id")
+    pairs = embedding_near_pairs(
+        emb, min_cosine=0.9, id_col="doc_id"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["cosine"] > 0.95

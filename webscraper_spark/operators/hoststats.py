@@ -61,6 +61,29 @@ def host_stats(
     )
 
 
+def host_stats_from_store(
+    store, up_to: int | None = None, portable: bool = False,
+) -> DataFrame | None:
+    """Host reputation from the crawl's OWN evidence: aggregates the
+    ``fetched`` table's extracted text/lang (already materialized per
+    round — zero extra scans of raw html). Returns None when nothing
+    has been fetched yet, so round 1 runs ungated. Feed the result to
+    ``run_round(host_reputation=...)``; production default is the
+    xxhash64 content hash (``portable=False``)."""
+    fetched = store.read_delta("fetched", up_to=up_to)
+    if fetched is None:
+        return None
+    ok = fetched.filter(
+        (F.col("fetch_status") == "ok") & F.col("text").isNotNull()
+    ).select(
+        "host",
+        F.col("url_hash").alias("doc_id"),
+        "text",
+        "lang",
+    )
+    return host_stats(ok, portable=portable)
+
+
 def throttle_admission(
     candidates: DataFrame, stats: DataFrame,
     max_dup_rate: float = 0.8, min_quality: float = 0.3,
