@@ -122,7 +122,7 @@ def gen_corpus_parquet(out_dir: str) -> None:
     spark.stop()
 
 
-def run_one(cores: int, corpus_dir: str) -> dict:
+def run_one(cores: int, corpus_dir: str, bloom_mode: str = "auto") -> dict:
     from webscraper_spark.plans.round import init_crawl, prepare_pages, run_round
     from webscraper_spark.session import get_spark
     from webscraper_spark.sources.tables import TableStore
@@ -149,7 +149,8 @@ def run_one(cores: int, corpus_dir: str) -> dict:
 
         t0 = time.time()
         lineages = [
-            run_round(store, pages_latest, r, per_host_budget=BUDGET, use_bloom=True)
+            run_round(store, pages_latest, r, per_host_budget=BUDGET,
+                      use_bloom=True, bloom_mode=bloom_mode)
             for r in range(1, ROUNDS + 1)
         ]
         wall = time.time() - t0
@@ -213,6 +214,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int)
     ap.add_argument("--corpus")
+    ap.add_argument("--bloom-mode", default="auto",
+                    help="auto|broadcast|sharded (probe-topology A/B)")
     ap.add_argument("--compare", action="store_true")
     ap.add_argument("--levels", default="2,8",
                     help="comma-separated parallelism pair for --compare")
@@ -220,4 +223,4 @@ if __name__ == "__main__":
     if args.compare:
         compare(tuple(int(x) for x in args.levels.split(",")))
     else:
-        print(json.dumps(run_one(args.cores, args.corpus)))
+        print(json.dumps(run_one(args.cores, args.corpus, args.bloom_mode)))
