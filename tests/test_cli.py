@@ -110,3 +110,33 @@ def test_entry_contract_from_foreign_cwd(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ROWS 24" in out.stdout
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    import shutil
+
+    docs_dir = str(tmp_path / "docs.parquet")
+    # copy the driver's fixed documents table as input
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .write.mode("overwrite").parquet(docs_dir)
+    out = str(tmp_path / "curated")
+    rc = cli.main([
+        "--cores", "8", "curate",
+        "--docs", docs_dir, "--out", out,
+        "--min-quality", "0.75", "--ivf-centroids", "4",
+        "--ivf-sample", "0.8",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_out"] > 0
+    assert summary["docs_out"] <= summary["docs_in"]
+    clean = spark.read.parquet(f"{out}/clean_docs.parquet")
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    assert clean.count() == summary["docs_out"]
+    assert emb.count() == summary["docs_out"]
+    row = emb.first()
+    assert len(row["embedding"]) == 64
+    assert row["centroid_id"] is not None
+    # every doc passed the gate it claims
+    assert clean.filter("quality_score < 0.75 OR lang_pred <> 'en'").count() == 0
+    shutil.rmtree(out, ignore_errors=True)

@@ -80,6 +80,72 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation over a documents parquet: exact dedup →
+    cross-document repeated-passage removal → language/quality gate →
+    embedding generation (→ optional IVF bucketing). The batch pipeline
+    a pretraining sweep runs per shard, driven from one command."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import (
+        embed_documents_fast,
+        exact_dedup,
+        ivf_assign_fast,
+        ivf_train,
+        passage_filter_text,
+    )
+    from .operators.textstats import lang_id, quality_features, quality_score_col
+
+    spark = _spark(args)
+    d = spark.read.parquet(args.docs).select("doc_id", "text")
+    n_in = d.count()
+
+    canon = exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
+    kept = d.join(canon, on="doc_id", how="left_semi")
+
+    # passage-level dedup rebuilds text without cross-doc boilerplate;
+    # docs shorter than one span (no passages) keep their original text
+    clean = passage_filter_text(
+        kept, span=args.passage_span, min_dup_docs=args.min_dup_docs,
+        portable=False,
+    ).select("doc_id", "clean_text")
+    kept = kept.join(clean, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("clean_text", "text").alias("text")
+    )
+
+    scored = quality_features(lang_id(kept)).withColumn(
+        "quality_score", quality_score_col()
+    )
+    gated = scored.filter(
+        (F.col("lang_pred") == args.lang)
+        & (F.col("quality_score") >= args.min_quality)
+    ).select("doc_id", "text", "lang_pred", "quality_score", "n_tokens")
+    gated.write.mode("overwrite").parquet(f"{args.out}/clean_docs.parquet")
+    gated = spark.read.parquet(f"{args.out}/clean_docs.parquet")
+
+    emb = embed_documents_fast(gated.select("doc_id", "text"), id_col="doc_id")
+    if args.ivf_centroids > 0:
+        cents = ivf_train(
+            emb, n_centroids=args.ivf_centroids, n_iters=args.ivf_iters,
+            id_col="doc_id", sample_fraction=args.ivf_sample, tol=1e-9,
+        )
+        emb = ivf_assign_fast(
+            emb,
+            cents.select(F.col("centroid_id").alias("doc_id"), "embedding"),
+            id_col="doc_id",
+        )
+    emb.write.mode("overwrite").parquet(f"{args.out}/embeddings.parquet")
+    n_out = gated.count()
+    print(json.dumps({
+        "docs_in": n_in,
+        "docs_out": n_out,
+        "dropped": n_in - n_out,
+        "ivf_centroids": args.ivf_centroids,
+        "out": args.out,
+    }))
+    return 0
+
+
 def cmd_report(args) -> int:
     from pyspark.sql import functions as F
 
@@ -139,6 +205,22 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("report", help="per-round lineage/metrics summary")
     r.add_argument("--store", required=True)
     r.set_defaults(fn=cmd_report)
+
+    cu = sub.add_parser(
+        "curate",
+        help="training-data curation: dedup → passage clean → lang/quality "
+             "gate → embeddings (→ IVF buckets)",
+    )
+    cu.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--lang", default="en")
+    cu.add_argument("--min-quality", type=float, default=0.75)
+    cu.add_argument("--passage-span", type=int, default=8)
+    cu.add_argument("--min-dup-docs", type=int, default=2)
+    cu.add_argument("--ivf-centroids", type=int, default=0, help="0 = skip IVF")
+    cu.add_argument("--ivf-iters", type=int, default=3)
+    cu.add_argument("--ivf-sample", type=float, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     k = sub.add_parser("compact", help="fold delta-table round partitions into one base")
     k.add_argument("--store", required=True)
