@@ -1256,6 +1256,61 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select("url", "warc_ts", "text")
 
 
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap source (`ws/sources/sitemap.py`): synthesizes a 6-file
+    fixture from doc_ids — five <urlset> shards (one gzipped, exercising
+    the spec's gzip allowance) plus a <sitemapindex> referencing them —
+    and runs the real mapInPandas parse → frontier-seed pipeline.
+    Entity-escaped locs, date lastmods, and partial <priority> coverage
+    mirror real sitemaps; the synthesis rule is stated in SQL by the
+    oracle."""
+    import gzip as _gzip
+
+    from webscraper_spark.sources.sitemap import sitemap_to_frontier
+
+    _utc(spark)
+    ids = sorted(
+        r.doc_id for r in _read(spark, sf_dir, "documents").select("doc_id").collect()
+    )
+
+    def entry(i: int) -> str:
+        loc = f"https://s{i % 9}.example/p/{i}?a=1&amp;b=2"
+        lastmod = f"2025-07-{(i % 27) + 1:02d}"
+        prio = f"<priority>{(i % 10) / 10:.1f}</priority>" if i % 3 == 0 else ""
+        return (
+            f"<url><loc>{loc}</loc><lastmod>{lastmod}</lastmod>"
+            f"<changefreq>daily</changefreq>{prio}</url>"
+        )
+
+    shards: dict[int, list[str]] = {g: [] for g in range(5)}
+    for i in ids:
+        if i % 11 != 10:  # some pages are simply not in any sitemap
+            shards[i % 5].append(entry(i))
+    files = []
+    for g, entries in shards.items():
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(entries) + "</urlset>"
+        ).encode()
+        path = f"https://hub.example/sitemap_{g}.xml"
+        if g == 4:
+            xml = _gzip.compress(xml)
+            path += ".gz"
+        files.append((path, xml))
+    index = (
+        '<?xml version="1.0" encoding="UTF-8"?><sitemapindex>'
+        + "".join(
+            f"<sitemap><loc>{p}</loc></sitemap>" for p, _ in files
+        )
+        + "</sitemapindex>"
+    ).encode()
+    files.append(("https://hub.example/sitemap_index.xml", index))
+    fdf = spark.createDataFrame(files, "path string, content binary")
+    out = sitemap_to_frontier(fdf)
+    return out.select("url", "host", F.col("priority").cast("long").alias("priority"), "lastmod_ts")
+
+
 def q_image_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: perceptual-hash banded Hamming pairs over the
     binary media column (rows-only; codec stubbed)."""
@@ -1358,6 +1413,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
         "warc_ingest": q_warc_ingest,
+        "sitemap_ingest": q_sitemap_ingest,
         "ivf_kmeans": q_ivf_kmeans,
         "link_rank": q_link_rank,
     }
@@ -2112,6 +2168,16 @@ SELECT host, count(*)::BIGINT AS n_docs,
        round(avg(quality_score), 4) AS mean_quality,
        round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS en_ratio
 FROM q GROUP BY host
+"""
+
+    sql["sitemap_ingest"] = """
+SELECT 'https://s' || (doc_id % 9) || '.example/p/' || doc_id || '?a=1&b=2' AS url,
+       's' || (doc_id % 9) || '.example' AS host,
+       (CASE WHEN doc_id % 3 = 0
+             THEN round((1.0 - (doc_id % 10) / 10.0) * 4)
+             ELSE 2 END)::BIGINT AS priority,
+       TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 27) * INTERVAL 1 DAY AS lastmod_ts
+FROM documents WHERE doc_id % 11 <> 10
 """
 
     sql["warc_ingest"] = """

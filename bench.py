@@ -68,6 +68,7 @@ HEADLINE = [
     "video_frame_sample",
     "audio_features",
     "warc_ingest",
+    "sitemap_ingest",
     # round-3 additions: passage dedup, embedding generation, host stats
     "passage_dedup",
     "passage_clean_text",
