@@ -1023,6 +1023,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint_col("text").alias("fp"))
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-ratio repetition signal per document (Arrow kernel;
+    golden-oracled — zlib is not expressible in DuckDB SQL)."""
+    from webscraper_spark.operators.textstats import compression_ratio_udf
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", compression_ratio_udf()(F.col("text")).alias("compression_ratio")
+    )
+
+
 def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-passage dedup: fixed 8-word spans hashed,
     doc-frequency counted by one narrow groupBy on the hash, spans in
@@ -1403,6 +1414,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "quality_features": q_quality_features,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "compression_ratio": q_compression_ratio,
         "passage_dedup": q_passage_dedup,
         "passage_clean_text": q_passage_clean_text,
         "embed_documents": q_embed_documents,
@@ -2235,6 +2247,11 @@ FROM documents WHERE doc_id % 5 <> 4
         )
         sql["link_rank"] = _g.values_sql(
             _g.golden_link_rank(_gold_sf, n_iters=3), ["node", "rank"]
+        )
+        sql["compression_ratio"] = _g.values_sql(
+            _g.golden_compression_ratio(_gold_sf),
+            ["doc_id", "compression_ratio"],
+            casts={"compression_ratio": "DOUBLE"},
         )
     except Exception:
         # goldens are additive: if the fixed sf0.01 dir is unavailable the

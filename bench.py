@@ -62,6 +62,7 @@ HEADLINE = [
     "quality_features",
     "lang_id",
     "fingerprint",
+    "compression_ratio",
     # round-2 additions: iterative algos, multimodal, raw-archive source
     "ivf_kmeans",
     "link_rank",

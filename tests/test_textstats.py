@@ -161,3 +161,22 @@ def test_gopher_structural_features(spark):
     r2 = quality_features(empty).collect()[0]
     assert r2.n_tokens == 0
     assert r2.alpha_word_ratio is None and r2.max_word_len is None
+
+
+def test_compression_ratio_detects_repetition(spark):
+    from webscraper_spark.operators.textstats import compression_ratio_udf
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "spam " * 200),                      # pure repetition
+        (2, " ".join(f"tok{i * 7919 % 104729}" for i in range(200))),  # varied
+        (3, None),
+        (4, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["ratio"] for r in d.select(
+        "doc_id", compression_ratio_udf()(F.col("text")).alias("ratio")
+    ).collect()}
+    assert out[1] < 0.05          # boilerplate compresses away
+    assert out[2] > 0.3           # varied prose does not
+    assert out[3] is None and out[4] is None

@@ -487,3 +487,19 @@ def values_sql(
         )
         base = f"SELECT {proj} FROM ({base}) s"
     return base
+
+
+def golden_compression_ratio(sf_dir: str) -> list[dict]:
+    """Pure-Python twin of textstats.compression_ratio_udf: sequential
+    zlib level-6 deflate ratio per document."""
+    import zlib
+
+    out = []
+    for doc_id, text in _read_docs(sf_dir):
+        if text is None:
+            out.append({"doc_id": doc_id, "compression_ratio": None})
+            continue
+        raw = text.encode("utf-8")
+        r = round(len(zlib.compress(raw, 6)) / len(raw), 4) if raw else None
+        out.append({"doc_id": doc_id, "compression_ratio": r})
+    return out

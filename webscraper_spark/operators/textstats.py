@@ -229,3 +229,35 @@ def fingerprint_col(text: str) -> Column:
         f"aggregate({wh}, cast(0 as bigint), "
         f"(acc, h) -> (acc * {POLY_MULT} + h) % {POLY_MOD})"
     )
+
+
+def compression_ratio_udf():
+    """Arrow kernel: zlib-compressed size / raw utf-8 size, rounded to 4
+    places — the standard cheap repetition detector (Gopher/CCNet-style
+    pipelines drop documents whose deflate ratio is implausibly low:
+    machine-generated boilerplate compresses far better than prose).
+    stdlib zlib at the fixed level 6; NULL text → NULL row value.
+
+    Not DuckDB-expressible, so the driver oracle is a golden VALUES twin
+    (tools/golden.py: same public zlib, sequential loop)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _ratio(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            if not raw:
+                out.append(None)
+                continue
+            out.append(round(len(zlib.compress(raw, 6)) / len(raw), 4))
+        return pd.Series(out, dtype="float64")
+
+    return _ratio
