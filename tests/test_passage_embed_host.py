@@ -391,3 +391,49 @@ def test_text_to_embedding_near_dup_end_to_end(spark):
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
     assert pairs[0]["cosine"] > 0.95
+
+
+# -- Arrow ANN fast-path completion ------------------------------------------
+
+def test_sign_lsh_fast_matches_expression(spark):
+    from webscraper_spark.operators.similarity import (
+        sign_lsh_buckets,
+        sign_lsh_buckets_fast,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    slow = {r["vec_id"]: r["bucket"] for r in sign_lsh_buckets(emb).collect()}
+    fast = {r["vec_id"]: r["bucket"] for r in sign_lsh_buckets_fast(emb).collect()}
+    assert slow == fast
+
+
+def test_embedding_near_pairs_fast_matches(spark):
+    from webscraper_spark.operators.similarity import (
+        embedding_near_pairs,
+        embedding_near_pairs_fast,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    slow = sorted(map(tuple, embedding_near_pairs(emb, min_cosine=0.3).collect()))
+    fast = sorted(map(tuple, embedding_near_pairs_fast(emb, min_cosine=0.3).collect()))
+    assert slow == fast
+
+
+def test_cosine_topk_fast_matches_declarative(spark):
+    from webscraper_spark.operators.similarity import cosine_topk, cosine_topk_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    slow = sorted(map(tuple, cosine_topk(emb, q, k=10).collect()))
+    fast = sorted(map(tuple, cosine_topk_fast(emb, q, k=10).collect()))
+    assert slow == fast
+
+
+def test_cosine_scores_fast_empty_query_raises(spark):
+    import pytest as _pt
+
+    from webscraper_spark.operators.similarity import cosine_scores_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    with _pt.raises(ValueError):
+        cosine_scores_fast(emb, emb.filter("vec_id < 0"))
