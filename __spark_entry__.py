@@ -901,6 +901,19 @@ def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs_pandas(d, n_hashes=32, k=3, bands=8)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs collapsed into
+    connected components via iterative min-label propagation (the step
+    from "similar pairs" to "keep one per group"; A~B, B~C ⇒ one
+    cluster). DuckDB twin = the same pair algebra + a recursive-CTE
+    transitive closure."""
+    from webscraper_spark.operators.similarity import connected_components
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, n_hashes=32, k=3, bands=8)
+    return connected_components(pairs)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard VERIFY step gated by LSH candidates — the production
     dedup flow (candidate generation via banded MinHash, then exact
@@ -1402,6 +1415,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_fast": q_minhash_lsh_fast,
+        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "simhash_fast": q_simhash_fast,
@@ -1861,6 +1875,31 @@ banded AS (
   FROM sig, range(0, 8) t(b))
 SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
 FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+"""
+
+    sql["near_dup_clusters"] = f"""
+WITH RECURSIVE w AS (SELECT doc_id, {ws} AS ws FROM documents),
+sg AS (SELECT doc_id, {sh} AS sg FROM w),
+hs AS (SELECT doc_id, list_transform(sg, s -> {_dd_poly('s')}) AS hv FROM sg),
+sig AS (SELECT doc_id, list_transform({_dd_perms()}, p ->
+          list_min(list_transform(hv, h -> (p[1] * h + p[2]) % {_MOD}))) AS sig FROM hs),
+banded AS (
+  SELECT doc_id, t.b AS band,
+         list_reduce(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4),
+                     (acc, v) -> (acc * 131 + v) % {_MOD}) AS key
+  FROM sig, range(0, 8) t(b)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+SELECT src AS node, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
     sql["ngram_jaccard"] = f"""

@@ -437,3 +437,44 @@ def test_cosine_scores_fast_empty_query_raises(spark):
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     with _pt.raises(ValueError):
         cosine_scores_fast(emb, emb.filter("vec_id < 0"))
+
+
+# -- near-dup clustering ------------------------------------------------------
+
+def test_connected_components_transitive(spark):
+    from webscraper_spark.operators.similarity import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    cc = {r["node"]: r["cluster_id"]
+          for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                  20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_long_chain(spark):
+    from webscraper_spark.operators.similarity import connected_components
+
+    # diameter 30 chain: early-stop must still reach the fixed point
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    cc = connected_components(pairs, max_iters=64).collect()
+    assert {r["cluster_id"] for r in cc} == {0}
+    assert len(cc) == 31
+
+
+def test_canonical_near_dedup_keeps_one_per_cluster(spark):
+    from webscraper_spark.operators.similarity import canonical_near_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(r["doc_id"] for r in canonical_near_dedup(docs, pairs).collect())
+    # cluster {0,1,2} -> keep 0; {4,5} -> keep 4; 3 unpaired -> kept
+    assert kept == [0, 3, 4]
