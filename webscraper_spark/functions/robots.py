@@ -88,3 +88,27 @@ def robots_allows_udf(paths: pd.Series, rules: pd.Series) -> pd.Series:
         for p, r in zip(paths, rules)
     ]
     return pd.Series(out)
+
+
+def robots_sitemaps(robots_txt: str | None) -> list[str]:
+    """Extract ``Sitemap:`` directives (robots.txt spec: group-
+    independent — they apply regardless of the active User-agent block,
+    so this scans the whole file, unlike the ``*``-group rule parse).
+    Feeds ``..sources.sitemap``: a crawler discovers each host's sitemap
+    set from the robots fetch it already performs."""
+    out: list[str] = []
+    if not robots_txt:
+        return out
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, val = line.partition(":")
+        if sep and key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val:
+                out.append(val)
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def robots_sitemaps_udf(bodies: pd.Series) -> pd.Series:
+    return pd.Series([robots_sitemaps(b) for b in bodies])
