@@ -478,3 +478,32 @@ def test_canonical_near_dedup_keeps_one_per_cluster(spark):
     kept = sorted(r["doc_id"] for r in canonical_near_dedup(docs, pairs).collect())
     # cluster {0,1,2} -> keep 0; {4,5} -> keep 4; 3 unpaired -> kept
     assert kept == [0, 3, 4]
+
+
+def test_passage_dedup_paragraph_mode(spark):
+    from webscraper_spark.operators.similarity import passage_dedup
+
+    legal = "All rights reserved worldwide"
+    rows = [
+        (1, f"Intro paragraph one here today\n\n{legal}\n\nUnique body text alpha"),
+        (2, f"Different intro for second doc\n\n{legal}\n\nAnother unique tail beta"),
+        (3, "No duplicate paragraphs anywhere in here\n\nJust original writing"),
+        (4, f"short\n\n{legal}"),  # 'short' is under min_words → no row
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = passage_dedup(d, mode="paragraph", min_dup_docs=2, min_words=2).collect()
+    by = {(r["doc_id"], r["passage_idx"]): r for r in out}
+    # the shared legal paragraph (normalized) is dropped in all three docs
+    assert by[(1, 1)]["keep"] is False and by[(1, 1)]["n_docs"] == 3
+    assert by[(2, 1)]["keep"] is False
+    assert by[(4, 0)]["keep"] is False          # 'short' filtered, legal is idx 0
+    # unique paragraphs survive
+    assert by[(1, 0)]["keep"] is True and by[(1, 2)]["keep"] is True
+    assert by[(3, 0)]["keep"] is True and by[(3, 1)]["keep"] is True
+    # normalization: case/whitespace variants of the same paragraph collapse
+    d2 = spark.createDataFrame(
+        [(1, "ALL   rights  reserved worldwide"), (2, "all rights reserved worldwide")],
+        "doc_id long, text string",
+    )
+    out2 = passage_dedup(d2, mode="paragraph", min_dup_docs=2, min_words=2).collect()
+    assert all(r["keep"] is False and r["n_docs"] == 2 for r in out2)
