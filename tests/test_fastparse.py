@@ -128,3 +128,39 @@ def test_fast_page_exposes_parser_surface():
     assert not p._in_title
     assert "".join(p.title_chunks).strip() == "Only Title"
     assert p.span_texts == [] and p.rating_class_texts == []
+
+
+# -- tag-soup false-accept hunt ----------------------------------------------
+#
+# The kernel's safety story is: EITHER parse exactly like the stdlib
+# twin OR bail out. The dangerous failure mode is a FALSE ACCEPT — the
+# strict regex matching some construct but tokenizing it differently
+# than html.parser's tolerant recovery. This generator aims straight at
+# that surface: random compositions of '<', '/', '!', '?', '=', quotes,
+# letters, digits, '>' and whitespace (pure tag soup, far outside the
+# structured corpus), asserting full extract_fields parity of the
+# COMBINED fast+fallback path vs the pure stdlib twin on every input.
+
+_soup_piece = st.one_of(
+    st.sampled_from([
+        "<", ">", "/", "!", "?", "=", "'", '"', " ", "\n", "-",
+        "a", "B", "p", "x1", "div", "span", "script", "</", "/>", "<!",
+        "<!--", "-->", "&amp;", "&", ";", "class", "href", "title",
+    ]),
+    st.text(alphabet="ab<>/='\" \tXz2.", min_size=0, max_size=6),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_soup_piece, min_size=0, max_size=30))
+def test_tag_soup_no_false_accepts(pieces):
+    doc = "".join(pieces)
+    old = ex._KERNEL
+    try:
+        ex._KERNEL = "fast"
+        fast = (extract_fields(doc), extract_benefits(doc))
+        ex._KERNEL = "stdlib"
+        std = (extract_fields(doc), extract_benefits(doc))
+    finally:
+        ex._KERNEL = old
+    assert fast == std
