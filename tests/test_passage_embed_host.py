@@ -507,3 +507,22 @@ def test_passage_dedup_paragraph_mode(spark):
     )
     out2 = passage_dedup(d2, mode="paragraph", min_dup_docs=2, min_words=2).collect()
     assert all(r["keep"] is False and r["n_docs"] == 2 for r in out2)
+
+
+def test_run_crawl_auto_host_reputation(spark, sdfs, tmp_path):
+    """The self-correcting loop runs end to end: round 1 ungated (no
+    evidence yet), later rounds gated by stats computed from the crawl's
+    own fetched text; the run completes and commits every round."""
+    from webscraper_spark.plans.round import run_crawl
+    from webscraper_spark.sources.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "auto_rep"))
+    lineages = run_crawl(
+        store, sdfs["pages"], sdfs["seeds"], sdfs["hosts"],
+        n_rounds=2, per_host_budget=3, auto_host_reputation=True,
+    )
+    assert len(lineages) == 2
+    assert all(l["scheduled"] > 0 for l in lineages)
+    # the synthetic corpus is healthy text, so the default thresholds
+    # must not strangle discovery
+    assert lineages[0]["new_urls"] > 0

@@ -453,11 +453,21 @@ def run_crawl(
     n_rounds: int,
     per_host_budget: int = 5,
     resume: bool = True,
+    auto_host_reputation: bool = False,
     **round_kwargs,
 ) -> list[dict]:
     """Multi-round driver with resume: picks up after the last committed
     round (C8). An interrupted run and a fresh run converge to identical
-    tables (tested)."""
+    tables (tested).
+
+    ``auto_host_reputation``: refresh the host-reputation table from the
+    crawl's own fetched text before each round (none before anything is
+    fetched, so round 1 runs ungated) and gate admission with it — the
+    self-correcting loop: a host that keeps serving duplicates or junk
+    stops earning frontier slots. Explicit ``host_reputation=`` in
+    round_kwargs wins over the automatic one."""
+    from ..operators.hoststats import host_stats_from_store
+
     pages_latest = prepare_pages(pages).persist()
     last = store.last_committed_round()
     if last is None:
@@ -467,8 +477,11 @@ def run_crawl(
         raise ValueError("store already initialized; pass resume=True")
     lineages = []
     for r in range(last + 1, n_rounds + 1):
+        kwargs = dict(round_kwargs)
+        if auto_host_reputation and "host_reputation" not in kwargs:
+            kwargs["host_reputation"] = host_stats_from_store(store, up_to=r - 1)
         lineage = run_round(
-            store, pages_latest, r, per_host_budget=per_host_budget, **round_kwargs
+            store, pages_latest, r, per_host_budget=per_host_budget, **kwargs
         )
         # running-mean ETA, the reference's progress readout
         # (Glassdoor_url_finder.py:311-327): avg secs/round so far ×
