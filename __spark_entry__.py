@@ -914,6 +914,21 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_near_dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production clustering path: the Arrow MinHash pair kernel feeding
+    the same connected-components operator (golden-oracled against a
+    pure-Python union-find over the same blake2b pair family — the
+    minhash_lsh_fast certification pattern)."""
+    from webscraper_spark.operators.similarity import (
+        connected_components,
+        lsh_candidate_pairs_pandas,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs_pandas(d, n_hashes=32, k=3, bands=8)
+    return connected_components(pairs)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard VERIFY step gated by LSH candidates — the production
     dedup flow (candidate generation via banded MinHash, then exact
@@ -1416,6 +1431,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_fast": q_minhash_lsh_fast,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_clusters_fast": q_near_dup_clusters_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "simhash_fast": q_simhash_fast,
@@ -2286,6 +2302,9 @@ FROM documents WHERE doc_id % 5 <> 4
         )
         sql["link_rank"] = _g.values_sql(
             _g.golden_link_rank(_gold_sf, n_iters=3), ["node", "rank"]
+        )
+        sql["near_dup_clusters_fast"] = _g.values_sql(
+            _g.golden_near_dup_clusters_fast(_gold_sf), ["node", "cluster_id"]
         )
         sql["compression_ratio"] = _g.values_sql(
             _g.golden_compression_ratio(_gold_sf),

@@ -56,7 +56,7 @@ HEADLINE = [
     # dedup + similarity + text analysis
     "exact_dedup",
     "minhash_lsh_fast",
-    "near_dup_clusters",
+    "near_dup_clusters_fast",
     "simhash_fast",
     "cosine_topk",
     "ivf_topk",

@@ -503,3 +503,39 @@ def golden_compression_ratio(sf_dir: str) -> list[dict]:
         r = round(len(zlib.compress(raw, 6)) / len(raw), 4) if raw else None
         out.append({"doc_id": doc_id, "compression_ratio": r})
     return out
+
+
+def golden_near_dup_clusters_fast(
+    sf_dir: str, n_hashes: int = 32, k: int = 3, bands: int = 8
+) -> list[dict]:
+    """Pure-Python twin of connected components over the FAST (blake2b)
+    LSH pair family: union-find with path compression over
+    golden_minhash_fast_pairs; cluster id = min member id."""
+    pairs = golden_minhash_fast_pairs(sf_dir, n_hashes, k, bands)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs:
+        a, b = find(row["id_a"]), find(row["id_b"])
+        if a != b:
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+    nodes = {row["id_a"] for row in pairs} | {row["id_b"] for row in pairs}
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = []
+    for root, members in comp.items():
+        label = min(members)
+        for n in members:
+            out.append({"node": n, "cluster_id": label})
+    return sorted(out, key=lambda r: r["node"])
