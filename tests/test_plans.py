@@ -27,9 +27,12 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", sorted(entry.queries()))
+_ALL = {**entry.queries(), **entry.cert_queries()}
+
+
+@pytest.mark.parametrize("name", sorted(_ALL))
 def test_no_cartesian_and_no_rowwise_python(spark, name):
-    df = entry.queries()[name](spark, SF)
+    df = _ALL[name](spark, SF)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     assert "BatchEvalPython" not in plan, f"{name} plans row-wise Python"

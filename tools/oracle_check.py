@@ -55,8 +55,8 @@ def main(names: list[str]) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = {**entrymod.queries(), **entrymod.cert_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.cert_oracle_sql()}
     if not names:
         names = list(qs)
     failures = []

@@ -118,11 +118,12 @@ def parse_warc_records(data: bytes) -> list[dict]:
     return out
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """All WARC records under ``path`` as a DataFrame (schema
-    :data:`WARC_PAGES`). One binaryFile row per WARC file; the splitter
-    runs per file in mapInPandas."""
-    files = spark.read.format("binaryFile").load(path)
+def read_warc_files(files: DataFrame) -> DataFrame:
+    """All WARC records in a ``(path string, content binary)`` DataFrame
+    as schema :data:`WARC_PAGES` — the executor-side splitter shared by
+    the binaryFile path (:func:`read_warc`) and in-memory fixtures
+    (cluster-valid: the bytes travel as DataFrame rows, never through a
+    driver-local filesystem path executors can't see)."""
 
     def _split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_PAGES.fields]
@@ -140,14 +141,20 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(_split, schema=WARC_PAGES)
 
 
-def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Common-Crawl WARC directory → the engine's pages table shape
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """All WARC records under ``path`` as a DataFrame (schema
+    :data:`WARC_PAGES`). One binaryFile row per WARC file; the splitter
+    runs per file in mapInPandas."""
+    return read_warc_files(spark.read.format("binaryFile").load(path))
+
+
+def pages_from_warc_records(recs: DataFrame) -> DataFrame:
+    """:data:`WARC_PAGES` records → the engine's pages table shape
     ``(url, warc_ts, html, text, lang)``: keep HTTP-200 response records,
     extract text with the pinned kernel; ``lang`` rides as null for the
     lang_id operator to fill downstream."""
     from ..functions.extract import extract_text_udf
 
-    recs = read_warc(spark, path)
     return (
         recs.filter((F.col("warc_type") == "response") & (F.col("http_status") == 200))
         .filter(F.col("url").isNotNull() & F.col("warc_ts").isNotNull())
@@ -157,6 +164,16 @@ def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
             F.lit(None).cast("string").alias("lang"),
         )
     )
+
+
+def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Common-Crawl WARC directory → the engine's pages table."""
+    return pages_from_warc_records(read_warc(spark, path))
+
+
+def pages_from_warc_files(files: DataFrame) -> DataFrame:
+    """``(path, content)`` DataFrame of WARC bytes → the pages table."""
+    return pages_from_warc_records(read_warc_files(files))
 
 
 # --- synthetic WARC writer (tests / fixtures) -------------------------------
