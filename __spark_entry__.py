@@ -1227,10 +1227,11 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier prioritization: PageRank over the derived corpus's
-    outlink graph (3 damped iterations, dangling mass uniform, round-9
-    quantized per iteration for cross-partitioning determinism). Feeds
-    priorities_from_rank → schedule_round. Oracle = sequential
-    pure-Python twin (tools/golden.py)."""
+    outlink graph (3 damped iterations, dangling mass uniform, ranks
+    quantized per iteration to max(9, ceil(log10 n)+7) decimals for
+    cross-partitioning determinism). Feeds priorities_from_rank →
+    schedule_round. Oracle = sequential pure-Python twin
+    (tools/golden.py, same size-scaled quantization)."""
     from webscraper_spark.operators.linkrank import pagerank
 
     d = _read(spark, sf_dir, "documents")
@@ -2217,18 +2218,31 @@ FROM h JOIN c USING (passage_hash)
 
     sql["passage_clean_text"] = f"""
 WITH w AS (SELECT doc_id, {ws} AS wl FROM documents),
-p AS (SELECT doc_id, unnest(range(0, len(wl) // 8)) AS passage_idx, wl FROM w),
-h AS (SELECT doc_id, passage_idx,
+t AS (SELECT doc_id, wl,
+        -- array_to_string([]) is NULL in DuckDB, '' in the engine
+        coalesce(array_to_string(list_slice(wl, (len(wl) // 8) * 8 + 1, len(wl)), ' '), '') AS trail
+      FROM w),
+p AS (SELECT doc_id, trail, unnest(range(0, len(wl) // 8)) AS passage_idx, wl FROM t),
+h AS (SELECT doc_id, trail, passage_idx,
         array_to_string(list_slice(wl, passage_idx * 8 + 1, passage_idx * 8 + 8), ' ') AS passage
       FROM p),
-hh AS (SELECT doc_id, passage_idx, passage, {_dd_poly('passage')} AS passage_hash FROM h),
-c AS (SELECT passage_hash, count(DISTINCT doc_id) AS n_docs FROM hh GROUP BY 1)
-SELECT hh.doc_id,
-       string_agg(hh.passage, ' ' ORDER BY hh.passage_idx) AS clean_text,
-       count(*)::BIGINT AS n_kept_passages
-FROM hh JOIN c USING (passage_hash)
-WHERE c.n_docs < 2
-GROUP BY hh.doc_id
+hh AS (SELECT doc_id, trail, passage_idx, passage, {_dd_poly('passage')} AS passage_hash FROM h),
+c AS (SELECT passage_hash, count(DISTINCT doc_id) AS n_docs FROM hh GROUP BY 1),
+g AS (
+  SELECT hh.doc_id,
+         coalesce(string_agg(hh.passage, ' ' ORDER BY hh.passage_idx)
+                    FILTER (WHERE c.n_docs < 2), '') AS kept_text,
+         any_value(hh.trail) AS trail,
+         count(*) FILTER (WHERE c.n_docs < 2)::BIGINT AS n_kept_passages,
+         count(*)::BIGINT AS n_passages
+  FROM hh JOIN c USING (passage_hash)
+  GROUP BY hh.doc_id)
+SELECT doc_id,
+       CASE WHEN trail = '' THEN kept_text
+            WHEN kept_text = '' THEN trail
+            ELSE kept_text || ' ' || trail END AS clean_text,
+       n_kept_passages, n_passages
+FROM g
 """
 
     sql["embed_documents"] = f"""

@@ -321,13 +321,25 @@ def test_passage_filter_text_reconstruction(spark):
            passage_filter_text(_docs(spark), span=8, min_dup_docs=2).collect()}
     # boilerplate opener removed, unique tail kept verbatim
     assert out[0]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
-    assert out[0]["n_kept_passages"] == 1
+    assert out[0]["n_kept_passages"] == 1 and out[0]["n_passages"] == 2
     assert out[1]["clean_text"] == "one two three four five six seven eight"
-    # all-boilerplate doc drops out entirely
-    assert 3 not in out
-    # fully-unique doc reassembles in order
+    # all-boilerplate doc now gets an explicit empty row (callers drop it
+    # instead of silently falling back to the duplicated original text)
+    assert out[3]["n_kept_passages"] == 0 and out[3]["n_passages"] == 2
+    assert out[3]["clean_text"] == ""
+    # fully-unique doc reassembles in order, INCLUDING the trailing
+    # partial span (18 words = 2 full spans + "tonight ok")
     assert out[2]["clean_text"].startswith("unique prose penguin")
-    assert out[2]["n_kept_passages"] == 2
+    assert out[2]["clean_text"].endswith("before sunset tonight ok")
+    assert out[2]["n_kept_passages"] == 2 and out[2]["n_passages"] == 2
+
+
+def test_passage_filter_text_short_doc_no_row(spark):
+    # shorter than one span → no row at all (caller keeps original text)
+    d = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    from webscraper_spark.operators.similarity import passage_filter_text
+
+    assert passage_filter_text(d, span=8).count() == 0
 
 
 def test_ivf_train_tol_early_stop(spark):

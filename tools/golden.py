@@ -367,8 +367,11 @@ def golden_link_rank(
     sf_dir: str, n_iters: int = 5, damping: float = 0.85
 ) -> list[dict]:
     """Sequential PageRank twin over the derived-corpus outlink graph
-    (doc i → (3i+1)%n, (7i+2)%n; dedup; dangling mass uniform; round-9
-    per iteration — mirrors operators/linkrank.pagerank exactly)."""
+    (doc i → (3i+1)%n, (7i+2)%n; dedup; dangling mass uniform;
+    quantized per iteration to q = max(9, ceil(log10 n) + 7) decimals —
+    mirrors operators/linkrank.pagerank's size-scaled quantization
+    exactly)."""
+    import math
     from collections import Counter, defaultdict
 
     ids = _read_doc_ids(sf_dir)
@@ -379,7 +382,8 @@ def golden_link_rank(
         edges.add((i, (i * 7 + 2) % n_docs))
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     n = len(nodes)
-    rank = {v: round(1.0 / n, 9) for v in nodes}
+    q = max(9, int(math.ceil(math.log10(n))) + 7)
+    rank = {v: round(1.0 / n, q) for v in nodes}
     outdeg = Counter(s for s, _ in edges)
     for _ in range(n_iters):
         dangling = sum(rank[v] for v in nodes if outdeg.get(v, 0) == 0)
@@ -388,7 +392,7 @@ def golden_link_rank(
             contrib[d] += rank[s] / outdeg[s]
         rank = {
             v: round(
-                (1 - damping) / n + damping * (contrib.get(v, 0.0) + dangling / n), 9
+                (1 - damping) / n + damping * (contrib.get(v, 0.0) + dangling / n), q
             )
             for v in nodes
         }

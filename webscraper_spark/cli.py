@@ -103,14 +103,23 @@ def cmd_curate(args) -> int:
     canon = exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
     kept = d.join(canon, on="doc_id", how="left_semi")
 
-    # passage-level dedup rebuilds text without cross-doc boilerplate;
-    # docs shorter than one span (no passages) keep their original text
+    # passage-level dedup rebuilds text without cross-doc boilerplate.
+    # Three cases: a clean row with kept passages → use clean_text
+    # (which includes any trailing partial span); a clean row with
+    # n_kept_passages = 0 → the doc is 100% cross-doc boilerplate and is
+    # DROPPED (falling back to the original text would feed the worst
+    # duplicates to the tokenizer verbatim); no clean row → the doc is
+    # shorter than one span and keeps its original text
     clean = passage_filter_text(
         kept, span=args.passage_span, min_dup_docs=args.min_dup_docs,
         portable=False,
-    ).select("doc_id", "clean_text")
-    kept = kept.join(clean, on="doc_id", how="left").select(
-        "doc_id", F.coalesce("clean_text", "text").alias("text")
+    ).select("doc_id", "clean_text", "n_kept_passages")
+    kept = (
+        kept.join(clean, on="doc_id", how="left")
+        .filter(
+            F.col("n_kept_passages").isNull() | (F.col("n_kept_passages") > 0)
+        )
+        .select("doc_id", F.coalesce("clean_text", "text").alias("text"))
     )
 
     scored = quality_features(lang_id(kept)).withColumn(

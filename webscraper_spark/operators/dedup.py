@@ -425,10 +425,15 @@ def bloom_filtered_new(
     if bloom is None:
         return anti_join_seen(candidates, seen, key_col)
     if isinstance(bloom, BloomShardStore):
-        # persist: the cogrouped per-shard bitmap probe (shuffle +
-        # applyInPandas) feeds BOTH the anti and the semi join below —
-        # unpersisted it would execute twice
-        maybe_keys = bloom.maybe_seen_keys(candidates, key_col).persist()
+        # eager localCheckpoint: the cogrouped per-shard bitmap probe
+        # (shuffle + applyInPandas) feeds BOTH the anti and the semi
+        # join below — without it the probe would execute twice. Unlike
+        # .persist(), the checkpoint blocks are released by the context
+        # cleaner when the DataFrame goes out of scope, so long
+        # multi-round crawls don't accumulate one pinned cache per round
+        maybe_keys = bloom.maybe_seen_keys(candidates, key_col).localCheckpoint(
+            eager=True
+        )
         definitely_new = candidates.join(maybe_keys, on=key_col, how="left_anti")
         maybe = candidates.join(maybe_keys, on=key_col, how="left_semi")
         return definitely_new.unionByName(anti_join_seen(maybe, seen, key_col))

@@ -55,9 +55,13 @@ N_METRIC_SHARDS = 32
 
 
 def _parse_mem(s: str) -> int:
-    """Parse a Spark memory string ('512m', '4g', '1t', bare bytes)."""
+    """Parse a Spark memory string ('512m', '4gb', '1t', '512b', bare
+    bytes) — accepts both the one- and two-letter suffix forms that
+    Spark's JavaUtils.byteStringAsBytes allows."""
     s = s.strip().lower()
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s.endswith("b") and len(s) > 1:
+        s = s[:-1]  # '4gb' → '4g', '512b' → '512'
     if s and s[-1] in units:
         return int(float(s[:-1]) * units[s[-1]])
     return int(s)
