@@ -1,0 +1,156 @@
+"""Baseline JPEG codec tests (functions/jpeg.py) and its wiring into the
+multimodal decode seam.
+
+JPEG is lossy, so unlike the PNG decoder's bit-identical parity these
+are tolerance tests: the in-container ground truth is the encoder twin
+(same public T.81 math), and the PIL parity test (skipped where PIL is
+absent) bounds the decoder against libjpeg within a few luma levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from webscraper_spark.functions.jpeg import (
+    ZIGZAG,
+    _C,
+    decode_jpeg_gray,
+    encode_jpeg,
+)
+
+try:
+    from PIL import Image
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def _smooth(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (128 + 100 * np.sin(xx / 10.0 + seed) * np.cos(yy / 12.0)).astype(
+        np.uint8
+    )
+
+
+def test_zigzag_is_the_standard_order():
+    # spot-check the generated order against the published sequence
+    assert ZIGZAG[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-4:] == [47, 55, 62, 63]
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+def test_dct_matrix_is_orthonormal():
+    assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+
+@pytest.mark.parametrize("quality,tol_max,tol_mean", [(95, 3, 1.0), (75, 8, 2.0)])
+def test_gray_roundtrip(quality, tol_max, tol_mean):
+    img = _smooth(48, 64)
+    dec = decode_jpeg_gray(encode_jpeg(img, quality=quality))
+    diff = np.abs(dec.astype(int) - img.astype(int))
+    assert dec.shape == img.shape
+    assert diff.max() <= tol_max
+    assert diff.mean() <= tol_mean
+
+
+def test_flat_image_is_near_exact():
+    img = np.full((32, 32), 137, dtype=np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg(img, quality=90))
+    assert np.abs(dec.astype(int) - 137).max() <= 1
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_color_roundtrip_luma(sub):
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [
+            (128 + 90 * np.sin(xx / 9.0)).astype(np.uint8),
+            (128 + 90 * np.cos(yy / 11.0)).astype(np.uint8),
+            (((xx + yy) // 2) % 256).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    y_true = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    dec = decode_jpeg_gray(encode_jpeg(rgb, quality=92, subsampling=sub))
+    assert dec.shape == (h, w)
+    assert np.abs(dec - y_true).max() <= 4
+
+
+def test_odd_dimensions_crop():
+    img = _smooth(21, 13, seed=2)
+    dec = decode_jpeg_gray(encode_jpeg(img, quality=90))
+    assert dec.shape == (21, 13)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_restart_markers():
+    img = _smooth(40, 56, seed=1)
+    with_rst = encode_jpeg(img, quality=88, restart_interval=2)
+    without = encode_jpeg(img, quality=88)
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    a = decode_jpeg_gray(with_rst)
+    b = decode_jpeg_gray(without)
+    # restart intervals change framing, not pixels
+    assert np.array_equal(a, b)
+
+
+def test_color_420_restart():
+    rgb = np.stack([_smooth(33, 50, s) for s in range(3)], axis=-1)
+    dec = decode_jpeg_gray(
+        encode_jpeg(rgb, quality=85, subsampling="420", restart_interval=3)
+    )
+    assert dec.shape == (33, 50)
+
+
+def test_corrupt_and_unsupported_raise_valueerror():
+    img = _smooth(16, 16)
+    blob = encode_jpeg(img, quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(blob[: len(blob) // 2])  # truncated
+    # forge a progressive SOF2 marker: must refuse, not misdecode
+    assert b"\xff\xc0" in blob
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(blob.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed in container")
+def test_pil_parity_both_directions(tmp_path):
+    import io
+
+    img = _smooth(40, 48, seed=3)
+    # our encoder → PIL decoder
+    with Image.open(io.BytesIO(encode_jpeg(img, quality=92))) as im:
+        pil_dec = np.asarray(im.convert("L"), dtype=np.uint8)
+    assert np.abs(pil_dec.astype(int) - img.astype(int)).max() <= 6
+    # PIL encoder → our decoder
+    buf = io.BytesIO()
+    Image.fromarray(img, mode="L").save(buf, format="JPEG", quality=92)
+    ours = decode_jpeg_gray(buf.getvalue())
+    assert np.abs(ours.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_image_features_on_jpeg_blobs(spark):
+    """The seam contract: JPEG blobs flow through image_features as real
+    decodes (no decode_error), with features matching the source pixels
+    within lossy tolerance."""
+    from webscraper_spark.operators.multimodal import image_features
+
+    imgs = {i: _smooth(24, 24, seed=i) for i in range(4)}
+    rows = [(i, "image", bytearray(encode_jpeg(imgs[i], quality=92)), 24, 24)
+            for i in range(4)]
+    rows.append((9, "image", bytearray(b"\xff\xd8\xff corrupt"), 24, 24))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, blob binary, meta_w int, meta_h int"
+    )
+    out = {r["media_id"]: r for r in image_features(media).collect()}
+    for i in range(4):
+        r = out[i]
+        assert r["decode_error"] is None
+        assert (r["width"], r["height"]) == (24, 24)
+        assert abs(r["mean_luma"] - float(imgs[i].mean())) <= 2.0
+    assert out[9]["decode_error"] == "ValueError"

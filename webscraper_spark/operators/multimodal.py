@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ..functions.jpeg import JPEG_SOI, decode_jpeg_gray
 from ..functions.png import PNG_SIGNATURE, png_to_gray
 
 MEDIA = T.StructType(
@@ -72,9 +73,13 @@ def decode_image(blob: bytes) -> np.ndarray:
     """Codec seam: the fake format always decodes; PNG decodes via the
     pure-Python stdlib decoder (``functions.png`` — environment-
     independent, bit-identical to PIL's convert("L") on the same bytes,
-    parity skip-tested); other real formats decode to 8-bit grayscale
-    via PIL when importable, else raise — the feature extractors
-    downstream turn that into an error row (C7), never a task failure."""
+    parity skip-tested); baseline JPEG decodes via the pure-Python codec
+    (``functions.jpeg`` — luma plane, tolerance-parity with PIL since
+    JPEG is lossy and convert("L") round-trips through RGB), with
+    non-baseline variants (progressive) falling through to PIL when
+    importable; other real formats decode to 8-bit grayscale via PIL
+    when importable, else raise — the feature extractors downstream turn
+    that into an error row (C7), never a task failure."""
     if blob is None:
         raise ValueError("null blob")
     if blob[:8] == FAKE_MAGIC:
@@ -83,6 +88,13 @@ def decode_image(blob: bytes) -> np.ndarray:
         return np.frombuffer(blob[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
     if blob[:8] == PNG_SIGNATURE:
         return png_to_gray(blob)
+    if blob[:2] == JPEG_SOI:
+        try:
+            return decode_jpeg_gray(blob)
+        except ValueError:
+            if _PIL is None:
+                raise
+            # progressive/exotic JPEG: let PIL try below
     if _PIL is not None:
         import io
 
