@@ -130,6 +130,7 @@ def run_round(
     bloom_mode: str = "auto",
     executor_mem_bytes: int | None = None,
     host_reputation: DataFrame | None = None,
+    extra_lineage: dict | None = None,
 ) -> dict:
     """Execute round ``round_no`` (requires round ``round_no - 1``
     committed). Returns the round's lineage counts.
@@ -436,6 +437,12 @@ def run_round(
     }
     if recrawl_rows is not None:
         lineage["recrawled"] = recrawl_rows.count()
+    if extra_lineage:
+        # caller-provided facts that must commit atomically WITH the
+        # round (e.g. the incremental WARC ingest's file list — its
+        # discovery state is exactly-once only if it flips with this
+        # manifest rename)
+        lineage.update(extra_lineage)
     store.commit_round(round_no, lineage=lineage)
     scheduled.unpersist()
     extracted.unpersist()

@@ -178,6 +178,12 @@ class TableStore:
             return None
         return self.spark.read.parquet(*parts)
 
+    def part_path(self, name: str, round_no: int) -> str:
+        """Filesystem path of one round partition (committed or not) —
+        for sources that stage data into the round BEFORE it commits
+        (e.g. incremental WARC ingest)."""
+        return self._part_dir(name, round_no)
+
     def read_round(self, name: str, round_no: int) -> DataFrame | None:
         path = self._part_dir(name, round_no)
         if round_no not in self.read_manifest()["committed_rounds"]:
