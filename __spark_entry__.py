@@ -916,17 +916,19 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_near_dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production clustering path: the Arrow MinHash pair kernel feeding
-    the same connected-components operator (golden-oracled against a
-    pure-Python union-find over the same blake2b pair family — the
-    minhash_lsh_fast certification pattern)."""
+    the O(log n)-round CONTRACTION connected-components operator
+    (pointer-jumped star contraction — diameter-proof, unlike the
+    label-propagation twin whose shuffle count tracks chain length).
+    Golden-oracled against a pure-Python union-find over the same
+    blake2b pair family — the minhash_lsh_fast certification pattern."""
     from webscraper_spark.operators.similarity import (
-        connected_components,
+        connected_components_contract,
         lsh_candidate_pairs_pandas,
     )
 
     d = _read(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs_pandas(d, n_hashes=32, k=3, bands=8)
-    return connected_components(pairs)
+    return connected_components_contract(pairs)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,18 +1136,36 @@ def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column → mapInPandas feature
-    extraction (decode step stubbed — deterministic fake codec)."""
+    extraction. ids 0-39 use the deterministic fake codec; ids 40-47 are
+    REAL baseline-JPEG blobs (in-repo T.81 encoder, quality 92) decoded
+    by the stdlib decoder — the oracle's sequential golden twin decodes
+    the same deterministic bytes, certifying the distributed decode
+    plumbing (the codec itself is certified by tests/test_jpeg.py
+    round-trips + PIL parity)."""
+    from webscraper_spark.functions.jpeg import encode_jpeg
     from webscraper_spark.operators.multimodal import encode_fake_image
 
     @F.pandas_udf(T.BinaryType())
     def _blob(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: encode_fake_image(16 + (int(i) % 5) * 4, 16, int(i)))
+        import numpy as np
 
-    media = spark.range(40).select(
+        def enc(i):
+            i = int(i)
+            if i < 40:
+                return encode_fake_image(16 + (i % 5) * 4, 16, i)
+            yy, xx = np.mgrid[0:16, 0:20]
+            img = (128 + 100 * np.sin(xx / 7.0 + (i - 40))
+                   * np.cos(yy / 5.0)).astype(np.uint8)
+            return encode_jpeg(img, quality=92)
+
+        return ids.map(enc)
+
+    media = spark.range(48).select(
         F.col("id").alias("media_id"),
         F.lit("image").alias("kind"),
         _blob(F.col("id")).alias("blob"),
-        (16 + (F.col("id") % 5) * 4).cast("int").alias("meta_w"),
+        F.when(F.col("id") < 40, 16 + (F.col("id") % 5) * 4)
+        .otherwise(20).cast("int").alias("meta_w"),
         F.lit(16).cast("int").alias("meta_h"),
     )
     return image_features(media)
@@ -1264,7 +1284,8 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-source: raw WARC archives → pages table (Common-Crawl ingestion,
     `ws/sources/warc.py`). Synthesizes a two-file WARC fixture (one plain,
     one per-record-gzip — the CC layout) from doc_ids, then runs the real
-    binaryFile → mapInPandas record-split → HTTP-body extract pipeline.
+    mapInPandas record-split → HTTP-body extract pipeline (the same
+    splitter the binaryFile path uses, `ws/sources/warc.py`).
     Non-200 records are filtered; text comes from the pinned kernel, so
     the oracle can state it in SQL. Cluster-valid: the fixture bytes
     ship as DataFrame rows (createDataFrame), never via a driver-local
@@ -2328,7 +2349,7 @@ FROM documents WHERE doc_id % 5 <> 4
             _g.golden_simhash_fast_pairs(_gold_sf), ["id_a", "id_b", "hamming"]
         )
         sql["image_features"] = _g.values_sql(
-            _g.golden_image_features(40),
+            _g.golden_image_features(40, n_jpeg=8),
             ["media_id", "width", "height", "mean_luma", "phash", "decode_error"],
             casts={"decode_error": "VARCHAR"},
         )

@@ -92,9 +92,11 @@ def test_golden_image_features_matches_spark(spark):
     want = {
         g["media_id"]: (g["width"], g["height"], g["mean_luma"], g["phash"],
                         g["decode_error"])
-        for g in golden_image_features(40)
+        for g in golden_image_features(40, n_jpeg=8)
     }
     assert got == want
+    # the JPEG slice decoded for real (no error rows)
+    assert all(got[i][4] is None for i in range(40, 48))
 
 
 def test_golden_image_near_pairs_matches_spark(spark):

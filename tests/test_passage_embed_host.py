@@ -478,6 +478,59 @@ def test_connected_components_long_chain(spark):
     assert len(cc) == 31
 
 
+def test_contract_cc_matches_label_propagation(spark):
+    # randomized graph: the O(log n) contraction path and the label-
+    # propagation baseline must agree exactly (cluster_id = min id)
+    import random
+
+    from webscraper_spark.operators.similarity import (
+        connected_components,
+        connected_components_contract,
+    )
+
+    rng = random.Random(4)
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    base = {(r["node"], r["cluster_id"])
+            for r in connected_components(df, max_iters=64).collect()}
+    fast = {(r["node"], r["cluster_id"])
+            for r in connected_components_contract(df).collect()}
+    assert fast == base
+
+
+def test_contract_cc_deep_chain_beyond_label_cap(spark):
+    # 600-hop chain: label propagation would need 600 shuffles (and
+    # raises at its default cap); contraction converges in O(log n)
+    # rounds
+    from webscraper_spark.operators.similarity import (
+        connected_components_contract,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(600)], "id_a long, id_b long"
+    )
+    cc = connected_components_contract(pairs).collect()
+    assert {r["cluster_id"] for r in cc} == {0}
+    assert len(cc) == 601
+
+
+def test_contract_cc_star_and_empty(spark):
+    from webscraper_spark.operators.similarity import (
+        connected_components_contract,
+    )
+
+    star = spark.createDataFrame(
+        [(50, i) for i in range(40)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["cluster_id"]
+          for r in connected_components_contract(star).collect()}
+    assert set(cc.values()) == {0}
+    assert len(cc) == 41
+    empty = star.filter("id_a < 0")
+    assert connected_components_contract(empty).count() == 0
+
+
 def test_canonical_near_dedup_keeps_one_per_cluster(spark):
     from webscraper_spark.operators.similarity import canonical_near_dedup
 

@@ -39,16 +39,24 @@ ROUNDS = 1
 BUDGET = 1200
 
 
-def _corpus_dfs(spark, n_urls: int = N_URLS, n_hosts: int = N_HOSTS):
+def _corpus_dfs(spark, n_urls: int = N_URLS, n_hosts: int = N_HOSTS,
+                skew_frac: float | None = None):
     """Deterministic Spark-generated corpus (no driver-side loops): every
     expression is a pure function of the row id. 20% of urls pile onto 20
-    hot hosts (Zipf-head stand-in) to exercise salted scheduling."""
+    hot hosts (Zipf-head stand-in) to exercise salted scheduling.
+    ``skew_frac``: route that fraction of ALL urls onto host0000 instead
+    (the extreme-skew stress for the fetch-join / scheduler A/B)."""
     from pyspark.sql import functions as F
 
     ids = spark.range(n_urls)
     i = F.col("id")
     h1 = F.pmod(F.xxhash64(i), F.lit(1_000_000))
-    host_idx = F.when(h1 % 5 == 0, F.pmod(h1, F.lit(20))).otherwise(
+    if skew_frac is not None:
+        host_idx = F.when(
+            F.pmod(h1, F.lit(1000)) < int(skew_frac * 1000), F.lit(0)
+        ).otherwise(F.pmod(h1, F.lit(n_hosts)))
+    else:
+        host_idx = F.when(h1 % 5 == 0, F.pmod(h1, F.lit(20))).otherwise(
         F.pmod(h1, F.lit(n_hosts))
     )
     host = F.concat(F.lit("host"), F.lpad(host_idx.cast("string"), 4, "0"), F.lit(".example"))
@@ -111,18 +119,22 @@ def _corpus_dfs(spark, n_urls: int = N_URLS, n_hosts: int = N_HOSTS):
     return pages, seeds, hosts
 
 
-def gen_corpus_parquet(out_dir: str) -> None:
+def gen_corpus_parquet(out_dir: str, n_urls: int = N_URLS,
+                       n_hosts: int = N_HOSTS,
+                       skew_frac: float | None = None) -> None:
     from webscraper_spark.session import get_spark
 
     spark = get_spark(app_name="bench_gen", cores=32)
-    pages, seeds, hosts = _corpus_dfs(spark)
+    pages, seeds, hosts = _corpus_dfs(spark, n_urls, n_hosts, skew_frac)
     pages.repartition(96).write.mode("overwrite").parquet(f"{out_dir}/pages.parquet")
     seeds.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/seeds.parquet")
     hosts.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/hosts.parquet")
     spark.stop()
 
 
-def run_one(cores: int, corpus_dir: str, bloom_mode: str = "auto") -> dict:
+def run_one(cores: int, corpus_dir: str, bloom_mode: str = "auto",
+            aqe_skew: bool = True, n_salt: int = 1,
+            budget: int = BUDGET) -> dict:
     from webscraper_spark.plans.round import init_crawl, prepare_pages, run_round
     from webscraper_spark.session import get_spark
     from webscraper_spark.sources.tables import TableStore
@@ -132,7 +144,11 @@ def run_one(cores: int, corpus_dir: str, bloom_mode: str = "auto") -> dict:
         shuffle_partitions=max(cores * 4, 8),
         # shuffle spill to tmpfs: a cluster executor has node-local SSDs;
         # this box's single /tmp disk would serialize both legs on I/O
-        extra_conf={"spark.local.dir": "/dev/shm/spark_bench_tmp"},
+        extra_conf={
+            "spark.local.dir": "/dev/shm/spark_bench_tmp",
+            "spark.sql.adaptive.skewJoin.enabled":
+                "true" if aqe_skew else "false",
+        },
     )
     pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
     seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
@@ -149,8 +165,8 @@ def run_one(cores: int, corpus_dir: str, bloom_mode: str = "auto") -> dict:
 
         t0 = time.time()
         lineages = [
-            run_round(store, pages_latest, r, per_host_budget=BUDGET,
-                      use_bloom=True, bloom_mode=bloom_mode)
+            run_round(store, pages_latest, r, per_host_budget=budget,
+                      use_bloom=True, bloom_mode=bloom_mode, n_salt=n_salt)
             for r in range(1, ROUNDS + 1)
         ]
         wall = time.time() - t0
@@ -162,7 +178,9 @@ def run_one(cores: int, corpus_dir: str, bloom_mode: str = "auto") -> dict:
     return {
         "cores": cores,
         "rounds": ROUNDS,
-        "per_host_budget": BUDGET,
+        "per_host_budget": budget,
+        "aqe_skew": aqe_skew,
+        "n_salt": n_salt,
         "n_urls": N_URLS,
         "n_hosts": N_HOSTS,
         "wall_sec": round(wall, 2),
@@ -197,17 +215,85 @@ def compare(levels=(2, 8), repeat: int = 2) -> dict:
         lo, hi = min(levels), max(levels)
         speedup = results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"]
         efficiency = speedup / (hi / lo)
+        # pairwise curve: efficiency between each adjacent level, so the
+        # headline lo→hi number is backed by a monotone path, not a
+        # single lucky pair
+        ordered = sorted(levels)
+        curve = {}
+        for a, b in zip(ordered, ordered[1:]):
+            s = results[b]["pages_per_sec"] / results[a]["pages_per_sec"]
+            curve[f"{a}->{b}"] = {
+                "speedup": round(s, 3),
+                "ideal": b / a,
+                "efficiency": round(s / (b / a), 3),
+            }
         summary = {
-            "metric": "pages fetched+deduped per sec, steady-state rounds, local[8] vs local[32]",
+            "metric": "pages fetched+deduped per sec, steady-state rounds",
             "levels": {str(c): results[c] for c in levels},
             "speedup": round(speedup, 3),
             "ideal_speedup": hi / lo,
             "scaling_efficiency": round(efficiency, 3),
+            "pairwise": curve,
         }
         print(json.dumps(summary))
         return summary
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
+
+
+SKEW_N_URLS = 1_000_000
+SKEW_N_HOSTS = 50
+
+
+def skew_compare(fracs=(0.5, 0.93), cores: int = 8, repeat: int = 2) -> dict:
+    """Fetch-join / scheduler stress under extreme host skew: one host
+    owns ``frac`` of every URL, the per-host budget is uncapped so the
+    skew reaches the fetch join intact. A/B legs per frac: AQE skew-join
+    on (fleet default) vs off, and salted scheduling (n_salt=8) vs
+    unsalted. Records the walls + the knob a 100 TB deployment sets."""
+    out = {}
+    for frac in fracs:
+        corpus_dir = tempfile.mkdtemp(prefix=f"bench_skew_{int(frac*100)}_")
+        try:
+            print(f"generating skewed corpus (frac={frac})...", file=sys.stderr)
+            gen_corpus_parquet(corpus_dir, n_urls=SKEW_N_URLS,
+                               n_hosts=SKEW_N_HOSTS, skew_frac=frac)
+            legs = {
+                "aqe_skew_on": ["--aqe-skew", "on"],
+                "aqe_skew_off": ["--aqe-skew", "off"],
+                "aqe_on_salted": ["--aqe-skew", "on", "--n-salt", "8"],
+            }
+            res = {}
+            for name, extra in legs.items():
+                best = None
+                for i in range(repeat):
+                    p = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--cores", str(cores), "--corpus", corpus_dir,
+                         "--budget", str(SKEW_N_URLS)] + extra,
+                        capture_output=True, text=True, check=True,
+                    )
+                    r = json.loads(p.stdout.strip().splitlines()[-1])
+                    print(f"frac={frac} {name} run {i+1}/{repeat}: "
+                          f"{r['wall_sec']}s", file=sys.stderr)
+                    if best is None or r["wall_sec"] < best["wall_sec"]:
+                        best = r
+                res[name] = {
+                    "wall_sec": best["wall_sec"],
+                    "pages_scheduled": best["pages_scheduled"],
+                    "new_urls_admitted": best["new_urls_admitted"],
+                }
+            out[str(frac)] = res
+        finally:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
+    summary = {
+        "metric": "steady-state round wall under extreme host skew "
+                  f"({SKEW_N_URLS} urls, {SKEW_N_HOSTS} hosts, "
+                  f"uncapped budget, local[{cores}])",
+        "fracs": out,
+    }
+    print(json.dumps(summary))
+    return summary
 
 
 if __name__ == "__main__":
@@ -217,10 +303,24 @@ if __name__ == "__main__":
     ap.add_argument("--bloom-mode", default="auto",
                     help="auto|broadcast|sharded (probe-topology A/B)")
     ap.add_argument("--compare", action="store_true")
-    ap.add_argument("--levels", default="2,8",
-                    help="comma-separated parallelism pair for --compare")
+    ap.add_argument("--levels", default="2,4,8",
+                    help="comma-separated parallelism levels for --compare")
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="best-of-N runs per level for --compare")
+    ap.add_argument("--skew-compare", action="store_true",
+                    help="extreme-host-skew fetch/scheduler A/B")
+    ap.add_argument("--aqe-skew", default="on", choices=["on", "off"])
+    ap.add_argument("--n-salt", type=int, default=1)
+    ap.add_argument("--budget", type=int, default=BUDGET)
     args = ap.parse_args()
     if args.compare:
-        compare(tuple(int(x) for x in args.levels.split(",")))
+        compare(tuple(int(x) for x in args.levels.split(",")),
+                repeat=args.repeat)
+    elif args.skew_compare:
+        skew_compare()
     else:
-        print(json.dumps(run_one(args.cores, args.corpus, args.bloom_mode)))
+        print(json.dumps(run_one(
+            args.cores, args.corpus, args.bloom_mode,
+            aqe_skew=args.aqe_skew == "on", n_salt=args.n_salt,
+            budget=args.budget,
+        )))

@@ -172,9 +172,13 @@ def _avg_hash(px: list[int], w: int, h: int, grid: int = 8) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
-def golden_image_features(n: int = 40) -> list[dict]:
-    """Twin of q_image_features' media: ids 0..n-1, w=16+(i%5)*4, h=16,
-    seed=i; mean_luma rounded to 4 places."""
+def golden_image_features(n: int = 40, n_jpeg: int = 8) -> list[dict]:
+    """Twin of q_image_features' media: ids 0..n-1 fake codec
+    (w=16+(i%5)*4, h=16, seed=i), ids n..n+n_jpeg-1 real baseline JPEG
+    (20×16 sinusoid, quality 92) decoded sequentially with the same
+    deterministic codec the engine runs distributed (the codec itself is
+    certified independently by tests/test_jpeg.py); mean_luma rounded to
+    4 places."""
     rows = []
     for i in range(n):
         w, h = 16 + (i % 5) * 4, 16
@@ -186,6 +190,27 @@ def golden_image_features(n: int = 40) -> list[dict]:
                 "phash": _avg_hash(px, w, h), "decode_error": None,
             }
         )
+    if n_jpeg:
+        import numpy as np
+
+        from webscraper_spark.functions.jpeg import (
+            decode_jpeg_gray,
+            encode_jpeg,
+        )
+
+        for i in range(n, n + n_jpeg):
+            yy, xx = np.mgrid[0:16, 0:20]
+            img = (128 + 100 * np.sin(xx / 7.0 + (i - n))
+                   * np.cos(yy / 5.0)).astype(np.uint8)
+            dec = decode_jpeg_gray(encode_jpeg(img, quality=92))
+            px = [int(v) for v in dec.reshape(-1)]
+            rows.append(
+                {
+                    "media_id": i, "width": 20, "height": 16,
+                    "mean_luma": round(sum(px) / len(px), 4),
+                    "phash": _avg_hash(px, 20, 16), "decode_error": None,
+                }
+            )
     return rows
 
 
