@@ -118,6 +118,56 @@ def test_corrupt_and_unsupported_raise_valueerror():
         decode_jpeg_gray(blob.replace(b"\xff\xc0", b"\xff\xc2", 1))
 
 
+def test_tiny_images():
+    for h, w in ((1, 1), (4, 4), (3, 9), (8, 8)):
+        img = _smooth(h, w, seed=h * 31 + w)
+        dec = decode_jpeg_gray(encode_jpeg(img, quality=95))
+        assert dec.shape == (h, w)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_fuzz_roundtrip_and_malformed_contract():
+    """Property sweep: (a) arbitrary-dimension smooth images round-trip
+    within lossy bounds; (b) random single-byte corruptions of valid
+    JPEGs either decode or raise ValueError — NEVER a parser-internal
+    exception (the C7 error-row contract)."""
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        h = int(rng.integers(9, 41))
+        w = int(rng.integers(9, 41))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = (
+            128
+            + 70 * np.sin(xx / (3 + trial % 5) + trial)
+            + 40 * np.cos(yy / (2 + trial % 7))
+        ).clip(0, 255).astype(np.uint8)
+        blob = encode_jpeg(img, quality=95)
+        dec = decode_jpeg_gray(blob)
+        assert dec.shape == (h, w)
+        diff = np.abs(dec.astype(int) - img.astype(int))
+        assert diff.max() <= 24 and diff.mean() <= 3.0
+        # corruption sweep over the same blob
+        for _ in range(20):
+            pos = int(rng.integers(2, len(blob)))
+            bad = bytearray(blob)
+            bad[pos] = int(rng.integers(0, 256))
+            try:
+                out = decode_jpeg_gray(bytes(bad))
+                assert out.dtype == np.uint8
+            except ValueError:
+                pass  # the only permitted failure type
+
+
+def test_truncation_contract():
+    img = _smooth(24, 24)
+    blob = encode_jpeg(img, quality=90)
+    for cut in range(2, len(blob), max(1, len(blob) // 40)):
+        try:
+            decode_jpeg_gray(blob[:cut])
+        except ValueError:
+            pass
+
+
 @pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed in container")
 def test_pil_parity_both_directions(tmp_path):
     import io

@@ -1,0 +1,64 @@
+"""Driver-contract registry invariants.
+
+The driver's correctness gate records exactly the FIRST 50 entries of
+``queries()`` per round, so registration order is load-bearing: every
+production query must sit in slots 1-50, the slot-51+ tail must contain
+only queries with green rows in at least two prior rounds, and every
+registered query needs an oracle. These tests freeze that contract so a
+refactor cannot silently push a query out of the gate again (the
+round-2/3 failure mode for host_stats / link_rank / sitemap_ingest).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry
+
+WINDOW = 50
+
+# queries that had NO driver row before round 4 — they must stay inside
+# the recorded window until the union-coverage ledger says otherwise
+MUST_BE_IN_WINDOW = {
+    "host_stats", "link_rank", "sitemap_ingest", "warc_ingest",
+    "image_features", "image_near_pairs", "video_frame_sample",
+    "audio_features", "ivf_kmeans",
+}
+
+
+def test_window_contains_all_production_queries():
+    names = list(entry.queries())
+    window = set(names[:WINDOW])
+    missing = MUST_BE_IN_WINDOW - window
+    assert not missing, f"driver gate will not record: {sorted(missing)}"
+
+
+def test_tail_queries_were_recorded_in_prior_rounds():
+    import json
+
+    names = list(entry.queries())
+    tail = names[WINDOW:]
+    for fname in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        rows = json.load(open(fname))
+        for q in tail:
+            assert q in rows and rows[q]["hash_match"], (
+                f"slot-51+ query {q} lacks a green row in {fname}; "
+                "rotate it into the window instead"
+            )
+
+
+def test_every_query_has_an_oracle_and_vice_versa():
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert o <= q, f"oracle without query: {sorted(o - q)}"
+    cq = set(entry.cert_queries())
+    co = set(entry.cert_oracle_sql())
+    assert co == cq
+    assert not (cq & q), "a query must not be both production and cert"
+
+
+def test_registry_sizes():
+    assert len(entry.queries()) >= WINDOW
+    assert len(entry.cert_queries()) == 3

@@ -50,6 +50,32 @@ def test_parse_truncated_file_yields_good_prefix():
     assert parse_warc_records(b"garbage not warc") == []
 
 
+def test_parse_every_truncation_point_never_raises():
+    """C7 property sweep: ANY prefix of a valid archive parses without
+    an exception, and its records are a prefix of the full parse."""
+    data = build_warc(_records(4))
+    full = parse_warc_records(data)
+    for cut in range(0, len(data), 7):
+        got = parse_warc_records(data[:cut])
+        assert len(got) <= len(full)
+        for want, r in zip(full, got):
+            assert r["url"] == want["url"]
+
+
+def test_parse_single_byte_corruptions_never_raise():
+    import random
+
+    for gz in (False, True):
+        data = build_warc(_records(3), per_record_gzip=gz)
+        rng = random.Random(11)
+        for _ in range(200):
+            pos = rng.randrange(len(data))
+            bad = bytearray(data)
+            bad[pos] = rng.randrange(256)
+            out = parse_warc_records(bytes(bad))  # must not raise
+            assert isinstance(out, list)
+
+
 def test_pages_from_warc_spark(spark, tmp_path):
     recs = _records(9)
     (tmp_path / "a.warc").write_bytes(build_warc(recs[:5]))

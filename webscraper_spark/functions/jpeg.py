@@ -142,7 +142,8 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> list[tuple[int, int, i
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            assert code < (1 << length), "corrupt Huffman table"
+            if code >= (1 << length):
+                raise ValueError("corrupt Huffman table")
             out.append((vals[k], code, length))
             code += 1
             k += 1
@@ -263,7 +264,17 @@ def _decode_block(bits: _Bits, dc_tab: dict, ac_tab: dict,
 
 
 def decode_jpeg_gray(blob: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 luma plane of shape (h, w)."""
+    """Baseline JPEG bytes → uint8 luma plane of shape (h, w).
+
+    Contract: every malformed input raises ``ValueError`` (the C7
+    per-item error-row type), never a parser-internal exception."""
+    try:
+        return _decode_jpeg_gray(blob)
+    except (struct.error, IndexError, StopIteration, KeyError) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}") from e
+
+
+def _decode_jpeg_gray(blob: bytes) -> np.ndarray:
     if blob[:2] != JPEG_SOI:
         raise ValueError("not a JPEG: bad SOI")
     qts: dict[int, np.ndarray] = {}

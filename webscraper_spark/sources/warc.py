@@ -49,9 +49,20 @@ WARC_PAGES = T.StructType(
 def _maybe_gunzip(data: bytes) -> bytes:
     if data[:2] == b"\x1f\x8b":
         # multi-member gzip (Common Crawl concatenates one member per
-        # record) — gzip.GzipFile reads through all members
-        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-            return gz.read()
+        # record) — gzip.GzipFile reads through all members. Read
+        # incrementally so a corrupt member yields the good prefix (the
+        # same C7 contract as the record scan) instead of raising.
+        out = bytearray()
+        try:
+            with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+                while True:
+                    chunk = gz.read(1 << 20)
+                    if not chunk:
+                        break
+                    out += chunk
+        except Exception:
+            pass  # truncated/corrupt member: keep the decoded prefix
+        return bytes(out)
     return data
 
 
