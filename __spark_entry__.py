@@ -1174,9 +1174,12 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video plumbing: binary video column → mapInPandas frame
     sampling (every 2nd frame re-encoded as a fake image, mean luma per
-    frame; codec seam stubbed). Oracle = pure-Python golden
-    (tools/golden.py). frame_blob is dropped here (binary literals don't
-    embed in VALUES); its correctness is pytest-covered."""
+    frame). ids 0-11 fake codec, id 12 a real mp4 container → error row,
+    ids 13-14 REAL animated GIFs decoded by the stdlib codec
+    (`ws/functions/gif.py` — gray palette is lossless, so the golden
+    twin states expected luma from the source arrays). frame_blob is
+    dropped here (binary literals don't embed in VALUES); its
+    correctness is pytest-covered."""
     from webscraper_spark.operators.multimodal import (
         encode_fake_video,
         video_frame_sample,
@@ -1184,15 +1187,23 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.BinaryType())
     def _blob(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from webscraper_spark.functions.gif import encode_gif
+
         def enc(i):
             i = int(i)
-            if i >= 12:
-                return b"RIFFmp4?" + b"x" * 16  # real format → error row
+            if i == 12:
+                return b"RIFFmp4?" + b"x" * 16  # real container → error row
+            if i > 12:  # REAL animated GIF (lossless gray palette)
+                nf = 3 + (i - 13)
+                rng = np.random.default_rng(100 + i)
+                return encode_gif(rng.integers(0, 256, (nf, 16, 16), dtype=np.uint8))
             return encode_fake_video(16 + (i % 3) * 8, 16, 4 + (i % 3), i)
 
         return ids.map(enc)
 
-    media = spark.range(13).select(
+    media = spark.range(15).select(
         F.col("id").alias("media_id"),
         F.lit("video").alias("kind"),
         _blob(F.col("id")).alias("blob"),
@@ -1209,9 +1220,11 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio plumbing: binary PCM column → mapInPandas features
-    (duration, RMS, zero crossings; codec seam stubbed). Oracle =
-    pure-Python golden (tools/golden.py)."""
+    """Multimodal audio plumbing: binary audio column → mapInPandas
+    features (duration, RMS, zero crossings). ids 0-29 fake codec, id 30
+    an mp3 → error row, ids 31-33 REAL WAV files decoded by the stdlib
+    codec (`ws/functions/wav.py` — PCM is lossless, so the golden twin
+    states expected features from the source samples)."""
     from webscraper_spark.operators.multimodal import (
         audio_features,
         encode_fake_audio,
@@ -1219,15 +1232,27 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.BinaryType())
     def _blob(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from webscraper_spark.functions.wav import encode_wav
+
         def enc(i):
             i = int(i)
-            if i >= 30:
-                return b"ID3\x03mp3 junk"  # real format → error row
+            if i == 30:
+                return b"ID3\x03mp3 junk"  # lossy format → error row
+            if i > 30:  # REAL WAV (lossless 16-bit PCM sine tone)
+                j = i - 31
+                ns = 3000 + 500 * j
+                t = np.arange(ns) / 16000.0
+                tone = np.round(
+                    12000.0 * np.sin(2 * np.pi * 220.0 * (j + 1) * t)
+                ).astype(np.int16)
+                return encode_wav(tone, 16000)
             return encode_fake_audio(8000 + (i % 5) * 400, 16000, i)
 
         return ids.map(enc)
 
-    media = spark.range(31).select(
+    media = spark.range(34).select(
         F.col("id").alias("media_id"),
         F.lit("audio").alias("kind"),
         _blob(F.col("id")).alias("blob"),
@@ -2357,11 +2382,11 @@ FROM documents WHERE doc_id % 5 <> 4
             _g.golden_image_near_pairs(40), ["id_a", "id_b", "hamming"]
         )
         sql["video_frame_sample"] = _g.values_sql(
-            _g.golden_video_frames(12),
+            _g.golden_video_frames(12, n_gif=2),
             ["media_id", "frame_idx", "n_frames", "mean_luma", "decode_error"],
         )
         sql["audio_features"] = _g.values_sql(
-            _g.golden_audio_features(30),
+            _g.golden_audio_features(30, n_wav=3),
             ["media_id", "n_samples", "sample_rate", "duration_sec", "rms",
              "zero_crossings", "decode_error"],
         )

@@ -207,7 +207,8 @@ def test_audio_features_values(spark):
     )
 
     rows = [(0, "audio", encode_fake_audio(1600, 16000, seed=9), None, None),
-            (1, "audio", b"RIFF....WAVE", None, None)]
+            (1, "audio", b"RIFF....WAVE", None, None),  # malformed WAV
+            (2, "audio", b"ID3\x03mp3 junk", None, None)]  # lossy seam
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "blob", "meta_w", "meta_h"]),
         schema=MEDIA,
@@ -218,4 +219,7 @@ def test_audio_features_values(spark):
     assert out[0].duration_sec == 0.1
     assert out[0].rms == round(float(np.sqrt(np.mean(pcm * pcm))), 4)
     assert out[0].zero_crossings > 0
-    assert out[1].decode_error == "NotImplementedError"
+    # WAV is now a real decodable format: malformed bytes are a
+    # ValueError row; only lossy codecs hit the NotImplementedError seam
+    assert out[1].decode_error == "ValueError"
+    assert out[2].decode_error == "NotImplementedError"

@@ -230,10 +230,12 @@ def golden_image_near_pairs(n: int = 40, max_hamming: int = 0) -> list[dict]:
     return out
 
 
-def golden_video_frames(n: int = 12, every: int = 2) -> list[dict]:
+def golden_video_frames(n: int = 12, every: int = 2, n_gif: int = 2) -> list[dict]:
     """Twin of q_video_frame_sample's media: w=16+(i%3)*8, h=16,
     frames=4+(i%3), seed=i; every 2nd frame; plus one real-format error
-    row (media_id=n)."""
+    row (media_id=n) and ``n_gif`` REAL animated-GIF blobs (ids n+1…,
+    16×16, 3+j frames, seed 100+id) — gray-palette GIF is lossless, so
+    the expected luma is the source array itself."""
     import numpy as np
 
     rows = []
@@ -250,12 +252,24 @@ def golden_video_frames(n: int = 12, every: int = 2) -> list[dict]:
             })
     rows.append({"media_id": n, "frame_idx": None, "n_frames": None,
                  "mean_luma": None, "decode_error": "NotImplementedError"})
+    for i in range(n + 1, n + 1 + n_gif):
+        nf = 3 + (i - n - 1)
+        rng = np.random.default_rng(100 + i)
+        frames = rng.integers(0, 256, (nf, 16, 16), dtype=np.uint8)
+        for idx in range(0, nf, every):
+            rows.append({
+                "media_id": i, "frame_idx": idx, "n_frames": nf,
+                "mean_luma": round(int(frames[idx].sum()) / 256, 4),
+                "decode_error": None,
+            })
     return rows
 
 
-def golden_audio_features(n: int = 30) -> list[dict]:
+def golden_audio_features(n: int = 30, n_wav: int = 3) -> list[dict]:
     """Twin of q_audio_features' media: n_samples=8000+(i%5)*400,
-    sr=16000, seed=i; plus one real-format error row (media_id=n)."""
+    sr=16000, seed=i; plus one real-format error row (media_id=n) and
+    ``n_wav`` REAL WAV blobs (ids n+1…, 16 kHz sine tones) — PCM is
+    lossless, so the expected features come from the source samples."""
     import math
 
     import numpy as np
@@ -276,6 +290,21 @@ def golden_audio_features(n: int = 30) -> list[dict]:
     rows.append({"media_id": n, "n_samples": None, "sample_rate": None,
                  "duration_sec": None, "rms": None, "zero_crossings": None,
                  "decode_error": "NotImplementedError"})
+    for i in range(n + 1, n + 1 + n_wav):
+        j = i - n - 1
+        ns, sr = 3000 + 500 * j, 16000
+        t = np.arange(ns) / sr
+        pcm = [int(v) for v in
+               np.round(12000.0 * np.sin(2 * np.pi * 220.0 * (j + 1) * t))
+               .astype(np.int16)]
+        sq = sum(v * v for v in pcm)
+        zc = sum(1 for a, b in zip(pcm, pcm[1:]) if (a < 0) != (b < 0))
+        rows.append({
+            "media_id": i, "n_samples": ns, "sample_rate": sr,
+            "duration_sec": round(ns / sr, 6),
+            "rms": round(math.sqrt(sq / ns), 4),
+            "zero_crossings": zc, "decode_error": None,
+        })
     return rows
 
 

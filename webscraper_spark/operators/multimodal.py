@@ -207,8 +207,12 @@ def encode_fake_video(width: int, height: int, n_frames: int, seed: int) -> byte
 
 
 def decode_video(blob: bytes) -> np.ndarray:
-    """Video codec seam → (frames, h, w) uint8. Real containers (mp4/webm)
-    raise where ffmpeg/pyav would slot in."""
+    """Video codec seam → (frames, h, w) uint8. Animated GIF decodes via
+    the pure-Python ``functions.gif`` codec (frames composited with
+    sub-rectangles/transparency/disposal, converted to luma); true video
+    containers (mp4/webm) raise where ffmpeg/pyav would slot in."""
+    from ..functions.gif import GIF_MAGICS, decode_gif_frames
+
     if blob is None:
         raise ValueError("null blob")
     if blob[:8] == FAKE_VIDEO_MAGIC:
@@ -216,7 +220,11 @@ def decode_video(blob: bytes) -> np.ndarray:
         h = int.from_bytes(blob[12:16], "big")
         n = int.from_bytes(blob[16:20], "big")
         return np.frombuffer(blob[20 : 20 + w * h * n], dtype=np.uint8).reshape(n, h, w)
-    raise NotImplementedError("real video codecs unavailable; plug ffmpeg/pyav here")
+    if blob[:6] in GIF_MAGICS:
+        return decode_gif_frames(blob)
+    raise NotImplementedError(
+        "real video containers unavailable; plug ffmpeg/pyav here"
+    )
 
 
 def encode_fake_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
@@ -230,8 +238,12 @@ def encode_fake_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
 
 
 def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
-    """Audio codec seam → (int16 samples, sample_rate). Real formats
-    (wav/mp3/flac) raise where soundfile/ffmpeg would slot in."""
+    """Audio codec seam → (int16 samples, sample_rate). WAV (RIFF PCM —
+    8/16/24/32-bit int and float32, any channel count, mixed to mono)
+    decodes via the pure-Python ``functions.wav`` codec; lossy formats
+    (mp3/flac/ogg) raise where soundfile/ffmpeg would slot in."""
+    from ..functions.wav import WAV_RIFF, decode_wav
+
     if blob is None:
         raise ValueError("null blob")
     if blob[:8] == FAKE_AUDIO_MAGIC:
@@ -243,7 +255,11 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
         if len(pcm) == 0:
             raise ValueError("empty pcm")
         return pcm, sr
-    raise NotImplementedError("real audio codecs unavailable; plug soundfile here")
+    if blob[:4] == WAV_RIFF:
+        return decode_wav(blob)
+    raise NotImplementedError(
+        "lossy audio codecs unavailable; plug soundfile/ffmpeg here"
+    )
 
 
 VIDEO_FRAMES = T.StructType(
