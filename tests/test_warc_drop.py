@@ -124,6 +124,25 @@ def test_crash_before_commit_reingests_idempotently(spark, split_corpus, tmp_pat
     assert ingested_pages(store, pending_round=1).count() == n1
 
 
+def test_incremental_auto_host_reputation(spark, split_corpus, tmp_path_factory):
+    # API parity with run_crawl: the self-correcting reputation loop
+    # composes with incremental ingest (round 1 ungated, later rounds
+    # gated by stats from the crawl's own fetched text)
+    corpus, _, in_a, in_b = split_corpus
+    sdfs = to_spark(spark, corpus)
+    drop = str(tmp_path_factory.mktemp("drop_rep"))
+    _write_warc_batch(drop, "batch_a.warc", in_a)
+    _write_warc_batch(drop, "batch_b.warc", in_b)
+    store = TableStore(spark, str(tmp_path_factory.mktemp("rep")))
+    lins = run_incremental_crawl(
+        store, drop, sdfs["seeds"], sdfs["hosts"],
+        n_rounds=2, per_host_budget=BUDGET, auto_host_reputation=True,
+    )
+    assert len(lins) == 2
+    assert sorted(lins[0]["ingested_files"]) == ["batch_a.warc", "batch_b.warc"]
+    assert store.read_delta("fetched").count() > 0
+
+
 def test_streaming_twin_exactly_once(spark, split_corpus, tmp_path_factory):
     corpus, _, in_a, in_b = split_corpus
     drop = str(tmp_path_factory.mktemp("drop_stream"))

@@ -111,12 +111,16 @@ def run_incremental_crawl(
     n_rounds: int,
     per_host_budget: int = 5,
     resume: bool = True,
+    auto_host_reputation: bool = False,
     **round_kwargs,
 ) -> list[dict]:
     """Multi-round crawl whose corpus is whatever WARC files have landed
-    in ``drop_dir`` by the time each round starts. Same resume contract
-    as ``run_crawl``; additionally each round's lineage records the
-    files it ingested, which IS the discovery checkpoint."""
+    in ``drop_dir`` by the time each round starts. Same resume and
+    ``auto_host_reputation`` contracts as ``run_crawl``; additionally
+    each round's lineage records the files it ingested, which IS the
+    discovery checkpoint."""
+    from ..operators.hoststats import host_stats_from_store
+
     last = store.last_committed_round()
     if last is None:
         init_crawl(store, seeds, hosts)
@@ -130,10 +134,13 @@ def run_incremental_crawl(
         if pages is None:
             raise ValueError(f"no WARC files available for round {r}")
         pages_latest = prepare_pages(pages).persist()
+        kwargs = dict(round_kwargs)
+        if auto_host_reputation and "host_reputation" not in kwargs:
+            kwargs["host_reputation"] = host_stats_from_store(store, up_to=r - 1)
         lineage = run_round(
             store, pages_latest, r, per_host_budget=per_host_budget,
             extra_lineage={"ingested_files": staged},
-            **round_kwargs,
+            **kwargs,
         )
         pages_latest.unpersist()
         lineages.append(lineage)
