@@ -1447,7 +1447,7 @@ def cert_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def cert_oracle_sql() -> dict[str, str]:
-    full = _oracle_sql_all()
+    full = _oracle_sql_cached()
     return {k: v for k, v in full.items() if k in _CERT_QUERIES}
 
 
@@ -1608,8 +1608,21 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 """
 
 
+_ORACLE_ALL_CACHE: "dict[str, str] | None" = None
+
+
+def _oracle_sql_cached() -> dict[str, str]:
+    """Build the full oracle dict once per process — the golden twins
+    inside it (sequential JPEG decodes, PageRank, union-find) are
+    computed eagerly, so building it twice doubles certification cost."""
+    global _ORACLE_ALL_CACHE
+    if _ORACLE_ALL_CACHE is None:
+        _ORACLE_ALL_CACHE = _oracle_sql_all()
+    return _ORACLE_ALL_CACHE
+
+
 def oracle_sql() -> dict[str, str]:
-    full = _oracle_sql_all()
+    full = _oracle_sql_cached()
     return {k: v for k, v in full.items() if k in _QUERIES}
 
 

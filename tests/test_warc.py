@@ -72,8 +72,29 @@ def test_parse_single_byte_corruptions_never_raise():
             pos = rng.randrange(len(data))
             bad = bytearray(data)
             bad[pos] = rng.randrange(256)
-            out = parse_warc_records(bytes(bad))  # must not raise
-            assert isinstance(out, list)
+            try:
+                out = parse_warc_records(bytes(bad))
+                assert isinstance(out, list)
+            except ValueError:
+                # the ONLY permitted raise: a wholly undecodable gzip
+                # archive fails loud instead of silently contributing
+                # zero records
+                assert gz
+
+
+def test_undecodable_archive_becomes_error_row(spark, tmp_path):
+    # a wholly corrupt .warc.gz must surface as a queryable error row,
+    # not vanish
+    good = build_warc(_records(2))
+    (tmp_path / "good.warc").write_bytes(good)
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b\xff corrupt beyond repair")
+    recs = read_warc(spark, str(tmp_path)).collect()
+    by_type = {}
+    for r in recs:
+        by_type.setdefault(r["warc_type"], []).append(r)
+    assert len(by_type["response"]) == 2
+    errs = by_type["error"]
+    assert len(errs) == 1 and errs[0]["source_file"].endswith("bad.warc.gz")
 
 
 def test_pages_from_warc_spark(spark, tmp_path):

@@ -124,6 +124,36 @@ def test_crash_before_commit_reingests_idempotently(spark, split_corpus, tmp_pat
     assert ingested_pages(store, pending_round=1).count() == n1
 
 
+def test_stale_staging_removed_when_files_vanish(spark, split_corpus, tmp_path_factory):
+    # crash-after-staging + operator deletes the files: re-running the
+    # round must NOT commit rows whose source files are absent from the
+    # ingested_files ledger (they would double-ingest on reappearance)
+    from webscraper_spark.sources.warc_drop import ingest_new_warcs, ingested_pages
+
+    _, _, in_a, _ = split_corpus
+    drop = str(tmp_path_factory.mktemp("drop_vanish"))
+    _write_warc_batch(drop, "x.warc", in_a)
+    store = TableStore(spark, str(tmp_path_factory.mktemp("vanish")))
+    assert ingest_new_warcs(store, drop, round_no=1) == ["x.warc"]
+    assert ingested_pages(store, pending_round=1).count() > 0
+    os.remove(os.path.join(drop, "x.warc"))
+    assert ingest_new_warcs(store, drop, round_no=1) == []
+    assert ingested_pages(store, pending_round=1) is None
+
+
+def test_inflight_temp_names_never_discovered(spark, split_corpus, tmp_path_factory):
+    _, _, in_a, _ = split_corpus
+    drop = str(tmp_path_factory.mktemp("drop_tmp"))
+    _write_warc_batch(drop, "real.warc", in_a)
+    _write_warc_batch(drop, "_copying.warc", in_a)  # writer prefix
+    _write_warc_batch(drop, ".hidden.warc", in_a)
+    with open(os.path.join(drop, "mid.warc.tmp"), "wb") as f:
+        f.write(b"partial bytes")
+    store = TableStore(spark, str(tmp_path_factory.mktemp("tmp")))
+    got = [os.path.basename(p) for p in discover_new_warcs(store, drop)]
+    assert got == ["real.warc"]
+
+
 def test_incremental_auto_host_reputation(spark, split_corpus, tmp_path_factory):
     # API parity with run_crawl: the self-correcting reputation loop
     # composes with incremental ingest (round 1 ungated, later rounds

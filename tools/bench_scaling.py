@@ -181,8 +181,10 @@ def run_one(cores: int, corpus_dir: str, bloom_mode: str = "auto",
         "per_host_budget": budget,
         "aqe_skew": aqe_skew,
         "n_salt": n_salt,
-        "n_urls": N_URLS,
-        "n_hosts": N_HOSTS,
+        # measured from the corpus actually read, not module constants
+        # (the skew corpus is 1M urls / 50 hosts, not the defaults)
+        "n_urls": seeds.count(),
+        "n_hosts": hosts.count(),
         "wall_sec": round(wall, 2),
         "pages_scheduled": scheduled,
         "new_urls_admitted": deduped,
@@ -317,7 +319,7 @@ if __name__ == "__main__":
         compare(tuple(int(x) for x in args.levels.split(",")),
                 repeat=args.repeat)
     elif args.skew_compare:
-        skew_compare()
+        skew_compare(cores=args.cores or 8, repeat=args.repeat)
     else:
         print(json.dumps(run_one(
             args.cores, args.corpus, args.bloom_mode,

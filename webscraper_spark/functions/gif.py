@@ -26,6 +26,11 @@ import numpy as np
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
+# untrusted-header allocation caps (C7: a crafted 100-byte blob must
+# raise ValueError, never drive a multi-GB allocation into MemoryError)
+MAX_PIXELS = 1 << 24       # logical screen: 16.7M px
+MAX_TOTAL_PIXELS = 1 << 27  # all composited frames together: 134M px
+
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
@@ -182,6 +187,8 @@ def _decode_gif(blob: bytes) -> np.ndarray:
     w, h, packed, bg, _ = struct.unpack("<HHBBB", blob[6:13])
     if w == 0 or h == 0:
         raise ValueError("empty logical screen")
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"logical screen {w}x{h} exceeds decoder pixel cap")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -229,6 +236,10 @@ def _decode_gif(blob: bytes) -> np.ndarray:
             pos += 3 * size
         if palette is None:
             raise ValueError("image without any color table")
+        if left + fw > w or top + fh > h:
+            # bounds-check BEFORE the LZW output buffer is sized from
+            # the untrusted fw*fh (also caps it at MAX_PIXELS)
+            raise ValueError("frame exceeds logical screen")
         if pos >= n:
             raise ValueError("truncated image data")
         mcs = blob[pos]
@@ -247,8 +258,6 @@ def _decode_gif(blob: bytes) -> np.ndarray:
             idx = out
         if np.any(idx >= len(palette)):
             raise ValueError("palette index out of range")
-        if left + fw > w or top + fh > h:
-            raise ValueError("frame exceeds logical screen")
         saved = canvas.copy() if disposal == 3 else None
         luma = _gray_from_palette(palette, idx)
         region = canvas[top:top + fh, left:left + fw]
@@ -257,6 +266,8 @@ def _decode_gif(blob: bytes) -> np.ndarray:
             region[mask] = luma[mask]
         else:
             region[:] = luma
+        if (len(frames) + 1) * h * w > MAX_TOTAL_PIXELS:
+            raise ValueError("GIF exceeds total decoded-frame cap")
         frames.append(canvas.copy())
         if disposal == 2:
             canvas[top:top + fh, left:left + fw] = bg_luma

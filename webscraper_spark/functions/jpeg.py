@@ -40,6 +40,10 @@ import numpy as np
 
 JPEG_SOI = b"\xff\xd8"
 
+# untrusted-header allocation cap: 16.7M pixels (float64 working plane
+# ≈ 134 MB) — far above real web images, far below a memory-bomb header
+MAX_PIXELS = 1 << 24
+
 # --- shared tables ----------------------------------------------------------
 
 
@@ -317,6 +321,11 @@ def _decode_jpeg_gray(blob: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker in (0xC0, 0xC1):  # SOF0/1: baseline & ext. sequential
             _, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if h * w > MAX_PIXELS:
+                # header dims are untrusted crawl input: refuse before
+                # allocating plane buffers (C7: ValueError row, never a
+                # MemoryError task failure)
+                raise ValueError(f"frame {w}x{h} exceeds decoder pixel cap")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
@@ -430,10 +439,10 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt_zz: np.ndarray,
                   dc_tab: dict, ac_tab: dict, pred: int) -> int:
     f = _C @ (block.astype(np.float64) - 128.0) @ _C.T
-    zz = np.round(f.reshape(64)[ZIGZAG] / qt).astype(np.int64)
+    zz = np.round(f.reshape(64)[ZIGZAG] / qt_zz).astype(np.int64)
     dc = int(zz[0])
     size, mag = _magnitude(dc - pred)
     code, ln = dc_tab[size]
@@ -476,8 +485,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
-    qt_l = _scaled_qt(_QT_LUMA, quality)
-    qt_c = _scaled_qt(_QT_CHROMA, quality)
+    # permute the raster-order Annex K tables into zigzag order ONCE:
+    # both the per-block division and the DQT payload are zigzag-indexed
+    # per T.81, so the effective quantizer matrix is exactly Annex K
+    zz = np.array(ZIGZAG)
+    qt_l = _scaled_qt(_QT_LUMA, quality)[zz]
+    qt_c = _scaled_qt(_QT_CHROMA, quality)[zz]
     if gray:
         planes = [img.astype(np.float64)]
         samp = [(1, 1)]

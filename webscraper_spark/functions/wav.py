@@ -57,6 +57,7 @@ def _decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     n = len(blob)
     while pos + 8 <= n:
@@ -65,6 +66,7 @@ def _decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         body = blob[pos + 8:pos + 8 + clen]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
@@ -75,8 +77,14 @@ def _decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     audio_format, channels, sample_rate, _, _, bits = fmt
     if channels < 1 or sample_rate <= 0:
         raise ValueError("invalid WAV fmt")
-    if audio_format == 0xFFFE and bits in (16, 24, 32):
-        audio_format = 1  # WAVE_FORMAT_EXTENSIBLE carrying PCM
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the REAL format code is the first two
+        # bytes of the SubFormat GUID (fmt extension offset 24) — an
+        # extensible float file must take the float path, not be
+        # misread as integer PCM
+        if len(fmt_body) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        (audio_format,) = struct.unpack("<H", fmt_body[24:26])
     if audio_format == 1:
         if bits == 8:
             x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)

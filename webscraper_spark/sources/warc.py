@@ -61,7 +61,11 @@ def _maybe_gunzip(data: bytes) -> bytes:
                         break
                     out += chunk
         except Exception:
-            pass  # truncated/corrupt member: keep the decoded prefix
+            # truncated/corrupt member: keep the decoded prefix — but a
+            # WHOLLY undecodable archive must fail loud (an empty return
+            # would silently contribute zero records with no diagnostic)
+            if not out:
+                raise ValueError("wholly corrupt gzip archive") from None
         return bytes(out)
     return data
 
@@ -144,7 +148,14 @@ def read_warc_files(files: DataFrame) -> DataFrame:
                 try:
                     recs = parse_warc_records(bytes(content))
                 except Exception:
-                    recs = []  # per-file isolation
+                    # per-file isolation, but NOT silent: an undecodable
+                    # archive becomes a queryable error row (filter
+                    # warc_type = 'error' to audit ingest losses) rather
+                    # than vanishing with zero diagnostic
+                    recs = [{
+                        "url": None, "warc_ts": None, "html": None,
+                        "http_status": None, "warc_type": "error",
+                    }]
                 for r in recs:
                     rows.append({**r, "source_file": fpath})
             yield pd.DataFrame(rows, columns=cols)

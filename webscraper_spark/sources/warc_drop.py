@@ -57,26 +57,63 @@ def ingested_files(store: TableStore) -> set[str]:
     return out
 
 
-def discover_new_warcs(store: TableStore, drop_dir: str) -> list[str]:
+def discover_new_warcs(
+    store: TableStore, drop_dir: str, settle_seconds: float = 0.0
+) -> list[str]:
     """Drop-dir listing minus the committed ingest manifest, sorted for
     determinism. Listing is driver-side metadata work — the content
-    bytes never touch the driver."""
-    present = sorted(
-        f for f in os.listdir(drop_dir) if f.endswith(_WARC_SUFFIXES)
-    )
+    bytes never touch the driver.
+
+    Producers must land archives by ATOMIC RENAME into the directory
+    (the same contract Spark's own file sources assume): hidden files
+    and common in-flight conventions (``.tmp``/``.partial``/``.part``
+    suffixes, ``_``/``.`` prefixes) are never picked up, so a file still
+    being copied under a temp name cannot be half-ingested and then
+    permanently skipped. For producers that cannot rename atomically,
+    ``settle_seconds > 0`` additionally skips any file modified within
+    that window (it is simply discovered on a later round)."""
     done = ingested_files(store)
-    return [os.path.join(drop_dir, f) for f in present if f not in done]
+    out = []
+    for f in sorted(os.listdir(drop_dir)):
+        if not f.endswith(_WARC_SUFFIXES):
+            continue
+        if f.startswith((".", "_")):
+            continue
+        if f in done:
+            continue
+        path = os.path.join(drop_dir, f)
+        if settle_seconds > 0:
+            import time
+
+            try:
+                if time.time() - os.path.getmtime(path) < settle_seconds:
+                    continue  # still settling: picked up next round
+            except OSError:
+                continue  # vanished between listing and stat
+        out.append(path)
+    return out
 
 
 def ingest_new_warcs(
-    store: TableStore, drop_dir: str, round_no: int
+    store: TableStore, drop_dir: str, round_no: int,
+    settle_seconds: float = 0.0,
 ) -> list[str]:
     """Stage every not-yet-ingested WARC file as the round's
     ``pages_ingest`` partition (idempotent insert-overwrite; becomes
     visible only when the round commits). Returns the staged file
     names."""
-    new = discover_new_warcs(store, drop_dir)
+    import shutil
+
+    new = discover_new_warcs(store, drop_dir, settle_seconds)
     if not new:
+        # remove any stale staging from a crashed earlier attempt at
+        # this round: rows whose source files are no longer discoverable
+        # must not ride into a commit whose ingested_files ledger says
+        # nothing was ingested (they would double-ingest if the files
+        # reappear later)
+        stale = store.part_path("pages_ingest", round_no)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
         return []
     files = store.spark.read.format("binaryFile").load(new)
     store.write("pages_ingest", pages_from_warc_files(files), round_no)
@@ -112,6 +149,7 @@ def run_incremental_crawl(
     per_host_budget: int = 5,
     resume: bool = True,
     auto_host_reputation: bool = False,
+    settle_seconds: float = 0.0,
     **round_kwargs,
 ) -> list[dict]:
     """Multi-round crawl whose corpus is whatever WARC files have landed
@@ -129,7 +167,7 @@ def run_incremental_crawl(
         raise ValueError("store already initialized; pass resume=True")
     lineages = []
     for r in range(last + 1, n_rounds + 1):
-        staged = ingest_new_warcs(store, drop_dir, r)
+        staged = ingest_new_warcs(store, drop_dir, r, settle_seconds)
         pages = ingested_pages(store, pending_round=r)
         if pages is None:
             raise ValueError(f"no WARC files available for round {r}")
@@ -154,7 +192,9 @@ def stream_pages_from_drop(spark: SparkSession, drop_dir: str) -> DataFrame:
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", "*.warc*")
+        # exact suffix alternation — the same set the batch discovery
+        # accepts, so in-flight temp names (x.warc.tmp) are never read
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
         .load(drop_dir)
     )
     return pages_from_warc_files(files)
