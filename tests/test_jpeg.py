@@ -158,6 +158,27 @@ def test_fuzz_roundtrip_and_malformed_contract():
                 pass  # the only permitted failure type
 
 
+def test_header_bomb_dimensions_refused():
+    import struct
+
+    from webscraper_spark.functions.jpeg import MAX_PIXELS
+
+    img = _smooth(16, 16)
+    blob = encode_jpeg(img, quality=90)
+    sof = blob.index(b"\xff\xc0")
+    # forge 65535x65535 dims: must refuse BEFORE allocating planes
+    huge = (blob[:sof + 5] + struct.pack(">HH", 65535, 65535)
+            + blob[sof + 9:])
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_jpeg_gray(huge)
+    assert 65535 * 65535 > MAX_PIXELS
+    # forge component count 255: per-component planes would multiply
+    # the pixel cap away
+    bad_nc = blob[:sof + 9] + bytes([255]) + blob[sof + 10:]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bad_nc)
+
+
 def test_truncation_contract():
     img = _smooth(24, 24)
     blob = encode_jpeg(img, quality=90)

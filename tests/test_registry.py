@@ -62,3 +62,23 @@ def test_every_query_has_an_oracle_and_vice_versa():
 def test_registry_sizes():
     assert len(entry.queries()) >= WINDOW
     assert len(entry.cert_queries()) == 3
+
+
+def test_partial_oracle_build_is_not_cached(monkeypatch):
+    # a transient golden-block failure must not freeze a degraded oracle
+    # dict for the whole process
+    monkeypatch.setattr(entry, "_ORACLE_ALL_CACHE", None)
+    calls = {"n": 0}
+
+    def fake_all():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {"__partial__": "1", "pricing_summary": "SELECT 1"}
+        return {"pricing_summary": "SELECT 1", "crawl_round": "SELECT 2"}
+
+    monkeypatch.setattr(entry, "_oracle_sql_all", fake_all)
+    first = entry.oracle_sql()
+    assert "crawl_round" not in first and "__partial__" not in first
+    second = entry.oracle_sql()  # rebuilds: partial was not cached
+    assert "crawl_round" in second
+    assert entry.oracle_sql() is not None and calls["n"] == 2  # now cached

@@ -141,6 +141,28 @@ def test_stale_staging_removed_when_files_vanish(spark, split_corpus, tmp_path_f
     assert ingested_pages(store, pending_round=1) is None
 
 
+def test_replay_of_committed_round_never_deletes_its_partition(
+    spark, split_corpus, tmp_path_factory
+):
+    # calling ingest_new_warcs with an ALREADY-COMMITTED round_no (replay
+    # or buggy caller) must be a no-op — not delete committed pages
+    corpus, _, in_a, _ = split_corpus
+    sdfs = to_spark(spark, corpus)
+    drop = str(tmp_path_factory.mktemp("drop_replay"))
+    _write_warc_batch(drop, "x.warc", in_a)
+    store = TableStore(spark, str(tmp_path_factory.mktemp("replay")))
+    run_incremental_crawl(
+        store, drop, sdfs["seeds"], sdfs["hosts"],
+        n_rounds=1, per_host_budget=BUDGET,
+    )
+    n_before = store.read_delta("pages_ingest").count()
+    assert n_before > 0
+    from webscraper_spark.sources.warc_drop import ingest_new_warcs
+
+    assert ingest_new_warcs(store, drop, round_no=1) == []  # file in ledger
+    assert store.read_delta("pages_ingest").count() == n_before
+
+
 def test_inflight_temp_names_never_discovered(spark, split_corpus, tmp_path_factory):
     _, _, in_a, _ = split_corpus
     drop = str(tmp_path_factory.mktemp("drop_tmp"))

@@ -326,6 +326,10 @@ def _decode_jpeg_gray(blob: bytes) -> np.ndarray:
                 # allocating plane buffers (C7: ValueError row, never a
                 # MemoryError task failure)
                 raise ValueError(f"frame {w}x{h} exceeds decoder pixel cap")
+            if not 1 <= nc <= 4:
+                # per-COMPONENT planes multiply the allocation: a forged
+                # nc=255 header would turn the pixel cap into 255 planes
+                raise ValueError(f"unsupported component count {nc}")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]

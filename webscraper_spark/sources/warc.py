@@ -80,8 +80,13 @@ def _parse_warc_date(v: str) -> datetime | None:
 def parse_warc_records(data: bytes) -> list[dict]:
     """Split one WARC file into records. Returns dicts with keys
     url/warc_ts/html/http_status/warc_type. Malformed trailing bytes end
-    the scan (C7: a truncated file yields its good prefix, not a task
-    failure). For response records the HTTP body is returned as html."""
+    the scan (C7: a truncated file yields its good prefix), and the same
+    holds for gzip input truncated AFTER the first member — but a gzip
+    archive whose FIRST member is undecodable raises ``ValueError``
+    (zero salvageable records must fail loud, not return []). The Spark
+    splitter (:func:`read_warc_files`) converts that raise into a
+    queryable ``warc_type='error'`` row, never a task failure. For
+    response records the HTTP body is returned as html."""
     data = _maybe_gunzip(data)
     out: list[dict] = []
     i, n = 0, len(data)

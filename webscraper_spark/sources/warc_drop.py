@@ -110,9 +110,12 @@ def ingest_new_warcs(
         # this round: rows whose source files are no longer discoverable
         # must not ride into a commit whose ingested_files ledger says
         # nothing was ingested (they would double-ingest if the files
-        # reappear later)
+        # reappear later). NEVER touch a COMMITTED partition — a replay
+        # with an already-committed round_no must be a no-op, not data
+        # loss.
+        committed = round_no in store.read_manifest()["committed_rounds"]
         stale = store.part_path("pages_ingest", round_no)
-        if os.path.exists(stale):
+        if not committed and os.path.exists(stale):
             shutil.rmtree(stale)
         return []
     files = store.spark.read.format("binaryFile").load(new)
