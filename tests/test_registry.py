@@ -19,12 +19,12 @@ import __spark_entry__ as entry
 
 WINDOW = 50
 
-# queries that had NO driver row before round 4 — they must stay inside
-# the recorded window until the union-coverage ledger says otherwise
+# queries whose most recent driver row is from round 3 (they sat in the
+# slot-51+ tail during round 4) — they must be inside the recorded
+# window this round so every query keeps a driver row ≤1 round old
 MUST_BE_IN_WINDOW = {
-    "host_stats", "link_rank", "sitemap_ingest", "warc_ingest",
-    "image_features", "image_near_pairs", "video_frame_sample",
-    "audio_features", "ivf_kmeans",
+    "region_rollup", "rollup_revenue", "distinct_event_types",
+    "event_type_counts", "value_percentiles", "convalue",
 }
 
 
@@ -40,7 +40,7 @@ def test_tail_queries_were_recorded_in_prior_rounds():
 
     names = list(entry.queries())
     tail = names[WINDOW:]
-    for fname in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+    for fname in ("CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
         rows = json.load(open(fname))
         for q in tail:
             assert q in rows and rows[q]["hash_match"], (
