@@ -90,6 +90,96 @@ def test_cli_compact(spark, demo, capsys):
     assert rc == 0
 
 
+def test_cli_crawl_drop_dir_batch_and_streaming_equivalent(
+    spark, tmp_path_factory, capsys
+):
+    """VERDICT r04 #4: both drop-dir shapes are drivable from the same
+    entry point — `crawl --drop-dir` (ledger-committed batch) and
+    `crawl --drop-dir --drop-mode streaming` (checkpointed stream →
+    pages_stream sink → the same round job) — and they produce identical
+    fetched tables across an incremental two-batch drop sequence."""
+    import os
+
+    from webscraper_spark.sources.tables import TableStore
+    from webscraper_spark.sources.warc import build_warc
+    from webscraper_spark.synth import gen_corpus, to_spark, write_corpus
+
+    corpus = gen_corpus(n_urls=240, n_hosts=6, seed=13)
+    d = tmp_path_factory.mktemp("cli_drop")
+    write_corpus(corpus, str(d / "corpus"))
+    pages = corpus["pages"].to_dict("records")
+    seed_urls = set(corpus["seeds"]["url"])
+    in_a = [r for r in pages if r["url"] in seed_urls]
+    rest = [r for r in pages if r["url"] not in seed_urls]
+    in_a += rest[: len(rest) // 2]
+    in_b = rest[len(rest) // 2:]
+    drop = str(d / "drop")
+    os.makedirs(drop)
+
+    def write_batch(name, rows):
+        recs = [
+            {"url": r["url"], "warc_ts": r["warc_ts"], "html": r["html"] or b""}
+            for r in rows
+        ]
+        with open(os.path.join(drop, name), "wb") as f:
+            f.write(build_warc(recs))
+
+    def crawl(store, rounds, *extra):
+        rc = cli.main([
+            "--cores", "8", "crawl", "--drop-dir", drop,
+            "--seeds", str(d / "corpus" / "seeds.parquet"),
+            "--seeds-format", "parquet",
+            "--hosts", str(d / "corpus" / "hosts.parquet"),
+            "--store", store, "--rounds", str(rounds), "--budget", "3",
+            *extra,
+        ])
+        assert rc == 0
+        return [
+            json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+        ]
+
+    st_batch = str(d / "store_batch")
+    st_stream = str(d / "store_stream")
+
+    write_batch("batch_a.warc", in_a)
+    lin_b1 = crawl(st_batch, 1)
+    assert lin_b1[0]["n_ingested_files"] == 1
+    lin_s1 = crawl(st_stream, 1, "--drop-mode", "streaming")
+    assert lin_s1[0]["fetched"] == lin_b1[0]["fetched"]
+
+    write_batch("batch_b.warc", in_b)
+    crawl(st_batch, 2)
+    crawl(st_stream, 2, "--drop-mode", "streaming")
+
+    # the streaming sink drained each archive exactly once (checkpoint):
+    # rows in pages_stream == total pages across both archives
+    n_sink = spark.read.parquet(os.path.join(st_stream, "pages_stream")).count()
+    from webscraper_spark.sources.warc import pages_from_warc_files
+
+    n_want = pages_from_warc_files(
+        spark.read.format("binaryFile").load(drop)
+    ).count()
+    assert n_sink == n_want
+
+    def orders(store_dir):
+        store = TableStore(spark, store_dir)
+        return sorted(
+            (r["round"], r["host"], r["host_seq"], r["url"], r["fetch_status"])
+            for r in store.read_delta("fetched").collect()
+        )
+
+    assert orders(st_batch) == orders(st_stream)
+
+    # exactly one of --pages / --drop-dir is required
+    assert cli.main([
+        "crawl", "--seeds", str(d / "corpus" / "seeds.parquet"),
+        "--seeds-format", "parquet",
+        "--hosts", str(d / "corpus" / "hosts.parquet"),
+        "--store", str(d / "store_none"),
+    ]) == 2
+    capsys.readouterr()
+
+
 def test_entry_contract_from_foreign_cwd(tmp_path):
     """The driver may import __spark_entry__ from any CWD; executors must
     still import the engine (self-shipped via addPyFile, the sc-level

@@ -65,15 +65,22 @@ def test_incremental_equals_batch_run(spark, split_corpus, tmp_path_factory):
         store_inc, drop, sdfs["seeds"], sdfs["hosts"],
         n_rounds=1, per_host_budget=BUDGET,
     )
-    assert lin1[0]["ingested_files"] == ["batch_a.warc"]
+    assert lin1[0]["n_ingested_files"] == 1
     _write_warc_batch(drop, "batch_b.warc", in_b)
     lin2 = run_incremental_crawl(
         store_inc, drop, sdfs["seeds"], sdfs["hosts"],
         n_rounds=N_ROUNDS, per_host_budget=BUDGET,
     )
-    assert lin2[0]["ingested_files"] == ["batch_b.warc"]
+    assert lin2[0]["n_ingested_files"] == 1
     assert not discover_new_warcs(store_inc, drop)  # all committed
-    assert ingested_files(store_inc) == {"batch_a.warc", "batch_b.warc"}
+    # the ledger records FULL paths (a re-used basename in another dir
+    # must not collide); lineage carries only counts
+    assert {os.path.basename(p) for p in ingested_files(store_inc)} == {
+        "batch_a.warc", "batch_b.warc",
+    }
+    assert all(os.path.isabs(p) for p in ingested_files(store_inc))
+    for lin in store_inc.read_manifest()["lineage"].values():
+        assert "ingested_files" not in lin  # no unbounded list in JSON
 
     # --- batch twin: both archives available from the start ---
     files = spark.read.format("binaryFile").load(drop)
@@ -114,13 +121,13 @@ def test_crash_before_commit_reingests_idempotently(spark, split_corpus, tmp_pat
     store = TableStore(spark, str(tmp_path_factory.mktemp("crash")))
     # stage without committing (simulated crash after the parquet write)
     staged = ingest_new_warcs(store, drop, round_no=1)
-    assert staged == ["only.warc"]
+    assert [os.path.basename(p) for p in staged] == ["only.warc"]
     n1 = ingested_pages(store, pending_round=1).count()
     # discovery still sees the file (nothing committed) and re-staging
     # insert-overwrites to the same state
     assert discover_new_warcs(store, drop)
     staged2 = ingest_new_warcs(store, drop, round_no=1)
-    assert staged2 == ["only.warc"]
+    assert [os.path.basename(p) for p in staged2] == ["only.warc"]
     assert ingested_pages(store, pending_round=1).count() == n1
 
 
@@ -134,7 +141,8 @@ def test_stale_staging_removed_when_files_vanish(spark, split_corpus, tmp_path_f
     drop = str(tmp_path_factory.mktemp("drop_vanish"))
     _write_warc_batch(drop, "x.warc", in_a)
     store = TableStore(spark, str(tmp_path_factory.mktemp("vanish")))
-    assert ingest_new_warcs(store, drop, round_no=1) == ["x.warc"]
+    staged = ingest_new_warcs(store, drop, round_no=1)
+    assert [os.path.basename(p) for p in staged] == ["x.warc"]
     assert ingested_pages(store, pending_round=1).count() > 0
     os.remove(os.path.join(drop, "x.warc"))
     assert ingest_new_warcs(store, drop, round_no=1) == []
@@ -191,8 +199,61 @@ def test_incremental_auto_host_reputation(spark, split_corpus, tmp_path_factory)
         n_rounds=2, per_host_budget=BUDGET, auto_host_reputation=True,
     )
     assert len(lins) == 2
-    assert sorted(lins[0]["ingested_files"]) == ["batch_a.warc", "batch_b.warc"]
+    assert lins[0]["n_ingested_files"] == 2
     assert store.read_delta("fetched").count() > 0
+
+
+def test_ledger_read_stays_bounded_across_many_rounds(
+    spark, tmp_path_factory
+):
+    # VERDICT r04 #3: discovery must read a bounded recent window + one
+    # compacted base, not an ever-growing set of per-round partitions —
+    # and the JSON manifest must stay O(rounds), never O(archives)
+    from webscraper_spark.sources.warc_drop import (
+        LEDGER_TABLE,
+        run_incremental_crawl,
+    )
+    from webscraper_spark.synth import gen_corpus, to_spark
+
+    corpus = gen_corpus(n_urls=60, n_hosts=4, seed=11)
+    sdfs = to_spark(spark, corpus)
+    pages = corpus["pages"].to_dict("records")
+    seed_urls = set(corpus["seeds"]["url"])
+    in_seed = [r for r in pages if r["url"] in seed_urls]
+    rest = [r for r in pages if r["url"] not in seed_urls]
+    drop = str(tmp_path_factory.mktemp("drop_many"))
+    store = TableStore(spark, str(tmp_path_factory.mktemp("many")))
+
+    n_rounds, every = 6, 2
+    chunks = [rest[i::n_rounds - 1] for i in range(n_rounds - 1)]
+    _write_warc_batch(drop, "round_1.warc", in_seed)
+    max_parts = 0
+    for r in range(1, n_rounds + 1):
+        if r > 1:
+            _write_warc_batch(drop, f"round_{r}.warc", chunks[r - 2])
+        run_incremental_crawl(
+            store, drop, sdfs["seeds"], sdfs["hosts"],
+            n_rounds=r, per_host_budget=BUDGET,
+            ledger_compact_every=every,
+        )
+        max_parts = max(max_parts, len(store._committed_parts(LEDGER_TABLE)))
+    # bounded: at most `every` uncompacted round partitions + 1 base,
+    # no matter how many rounds have ever ingested
+    assert max_parts <= every + 1
+    assert store.read_manifest().get("compacted", {}).get(LEDGER_TABLE) == 6
+    # every dropped archive is in the ledger exactly once (compaction
+    # loses nothing, discovery re-ingests nothing)
+    led = store.read_delta(LEDGER_TABLE)
+    paths = [r["path"] for r in led.collect()]
+    assert len(paths) == len(set(paths)) == n_rounds
+    # lineage carries counts only — the manifest is O(rounds)
+    lins = store.read_manifest()["lineage"]
+    assert len(lins) == n_rounds + 1  # + the round-0 init record
+    assert all(
+        lin["n_ingested_files"] == 1 and "ingested_files" not in lin
+        for rnd, lin in lins.items()
+        if rnd != "0"
+    )
 
 
 def test_streaming_twin_exactly_once(spark, split_corpus, tmp_path_factory):

@@ -28,11 +28,26 @@ def _spark(args):
 
 
 def cmd_crawl(args) -> int:
+    """Three equivalent corpus shapes behind one entry point:
+
+    - ``--pages``: a static pages parquet (the original batch crawl);
+    - ``--drop-dir`` (batch mode): Auto-Loader-style incremental WARC
+      ingest — each round ingests exactly the archives that landed since
+      the last committed round (``run_incremental_crawl``);
+    - ``--drop-dir --drop-mode streaming``: the Structured-Streaming
+      twin — a checkpointed ``binaryFile`` stream drains the drop dir
+      exactly-once into a parquet ``pages_stream`` sink inside the
+      store, then the same round job runs over the accumulated corpus.
+    """
+    import os
+
     from .plans.round import run_crawl
     from .sources.tables import TableStore
 
+    if (args.pages is None) == (args.drop_dir is None):
+        print(json.dumps({"error": "pass exactly one of --pages / --drop-dir"}))
+        return 2
     spark = _spark(args)
-    pages = spark.read.parquet(args.pages)
     seeds = (
         spark.read.parquet(args.seeds)
         if args.seeds_format == "parquet"
@@ -40,11 +55,39 @@ def cmd_crawl(args) -> int:
     )
     hosts = spark.read.parquet(args.hosts)
     store = TableStore(spark, args.store)
-    lineages = run_crawl(
-        store, pages, seeds, hosts,
-        n_rounds=args.rounds, per_host_budget=args.budget,
-        use_bloom=not args.no_bloom,
-    )
+    if args.drop_dir is not None and args.drop_mode == "batch":
+        from .sources.warc_drop import run_incremental_crawl
+
+        lineages = run_incremental_crawl(
+            store, args.drop_dir, seeds, hosts,
+            n_rounds=args.rounds, per_host_budget=args.budget,
+            settle_seconds=args.settle_seconds,
+            ledger_compact_every=args.ledger_compact_every,
+            use_bloom=not args.no_bloom,
+        )
+    else:
+        if args.drop_dir is not None:  # streaming twin → round-job handoff
+            from .sources.warc_drop import stream_pages_from_drop
+
+            sink = os.path.join(args.store, "pages_stream")
+            ckpt = os.path.join(args.store, "pages_stream_ckpt")
+            q = (
+                stream_pages_from_drop(spark, args.drop_dir)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            pages = spark.read.parquet(sink)
+        else:
+            pages = spark.read.parquet(args.pages)
+        lineages = run_crawl(
+            store, pages, seeds, hosts,
+            n_rounds=args.rounds, per_host_budget=args.budget,
+            use_bloom=not args.no_bloom,
+        )
     for i, l in enumerate(lineages, start=store.last_committed_round() - len(lineages) + 1):
         print(json.dumps({"round": i, **l}))
     return 0
@@ -191,7 +234,16 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("crawl", help="run politeness-scheduled crawl rounds")
-    c.add_argument("--pages", required=True)
+    c.add_argument("--pages", default=None, help="static pages parquet")
+    c.add_argument("--drop-dir", default=None,
+                   help="WARC drop directory (incremental ingest instead of --pages)")
+    c.add_argument("--drop-mode", choices=["batch", "streaming"], default="batch",
+                   help="drop-dir discovery: ledger-committed batch (default) "
+                        "or the checkpointed Structured-Streaming twin")
+    c.add_argument("--settle-seconds", type=float, default=0.0,
+                   help="batch drop-dir: skip files modified within this window")
+    c.add_argument("--ledger-compact-every", type=int, default=8,
+                   help="batch drop-dir: fold ingest-ledger partitions every N rounds")
     c.add_argument("--seeds", required=True)
     c.add_argument("--seeds-format", choices=["csv", "parquet"], default="csv",
                    help="seed list format (explicit flag, no path sniffing)")

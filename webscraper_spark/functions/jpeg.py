@@ -290,6 +290,10 @@ def _decode_jpeg_gray(blob: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if blob[pos] != 0xFF:
             raise ValueError("expected marker")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip padding so the id is the first non-FF byte
+        while pos + 1 < n and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -64,6 +64,14 @@ def _decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         cid = blob[pos:pos + 4]
         (clen,) = struct.unpack("<I", blob[pos + 4:pos + 8])
         body = blob[pos + 8:pos + 8 + clen]
+        if len(body) != clen:
+            # a declared length past EOF is corruption, not a short read:
+            # raise (C7 error-row contract) instead of silently computing
+            # features over a truncated prefix
+            raise ValueError(
+                f"truncated {cid.decode('latin1')!r} chunk: "
+                f"declared {clen}, got {len(body)} bytes"
+            )
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
             fmt_body = body

@@ -117,6 +117,23 @@ def init_crawl(
     store.commit_round(0, lineage={"seeds": frontier.count()})
 
 
+def _merge_extra_lineage(lineage: dict, extra_lineage: "dict | None") -> dict:
+    """Fold caller-provided facts into the round's lineage record before
+    the atomic commit (e.g. the incremental WARC ingest's file count —
+    its discovery state is exactly-once only if it flips with the same
+    manifest rename). Built-in counts are authoritative: a caller key
+    that collides would corrupt the committed round record, so collisions
+    raise instead of silently overwriting."""
+    if extra_lineage:
+        clash = set(extra_lineage) & set(lineage)
+        if clash:
+            raise ValueError(
+                f"extra_lineage keys collide with built-in lineage: {sorted(clash)}"
+            )
+        lineage.update(extra_lineage)
+    return lineage
+
+
 def run_round(
     store: TableStore,
     pages_latest: DataFrame,
@@ -437,12 +454,7 @@ def run_round(
     }
     if recrawl_rows is not None:
         lineage["recrawled"] = recrawl_rows.count()
-    if extra_lineage:
-        # caller-provided facts that must commit atomically WITH the
-        # round (e.g. the incremental WARC ingest's file list — its
-        # discovery state is exactly-once only if it flips with this
-        # manifest rename)
-        lineage.update(extra_lineage)
+    _merge_extra_lineage(lineage, extra_lineage)
     store.commit_round(round_no, lineage=lineage)
     scheduled.unpersist()
     extracted.unpersist()
