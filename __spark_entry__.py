@@ -1174,12 +1174,14 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video plumbing: binary video column → mapInPandas frame
     sampling (every 2nd frame re-encoded as a fake image, mean luma per
-    frame). ids 0-11 fake codec, id 12 a real mp4 container → error row,
+    frame). ids 0-11 fake codec, id 12 a webm container → error row,
     ids 13-14 REAL animated GIFs decoded by the stdlib codec
     (`ws/functions/gif.py` — gray palette is lossless, so the golden
-    twin states expected luma from the source arrays). frame_blob is
-    dropped here (binary literals don't embed in VALUES); its
-    correctness is pytest-covered."""
+    twin states expected luma from the source arrays), id 15 a REAL
+    ISO-BMFF mp4 whose keyframe index (`ws/functions/mp4.py` stss/stts/
+    stco parse) yields decode-pending rows with sample timestamps and
+    byte offsets. frame_blob is dropped here (binary literals don't
+    embed in VALUES); its correctness is pytest-covered."""
     from webscraper_spark.operators.multimodal import (
         encode_fake_video,
         video_frame_sample,
@@ -1190,11 +1192,18 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from webscraper_spark.functions.gif import encode_gif
+        from webscraper_spark.functions.mp4 import build_mp4
 
         def enc(i):
             i = int(i)
             if i == 12:
-                return b"RIFFmp4?" + b"x" * 16  # real container → error row
+                return b"\x1aE\xdf\xa3webm" + b"x" * 16  # webm → error row
+            if i == 15:  # REAL mp4: keyframe index rows (decode pending)
+                sizes = [30 + (k * 7) % 40 for k in range(10)]
+                return build_mp4(
+                    [bytes([65 + k]) * s for k, s in enumerate(sizes)],
+                    sync_samples=[1, 4, 8],
+                )
             if i > 12:  # REAL animated GIF (lossless gray palette)
                 nf = 3 + (i - 13)
                 rng = np.random.default_rng(100 + i)
@@ -1203,7 +1212,7 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return ids.map(enc)
 
-    media = spark.range(15).select(
+    media = spark.range(16).select(
         F.col("id").alias("media_id"),
         F.lit("video").alias("kind"),
         _blob(F.col("id")).alias("blob"),
@@ -1215,7 +1224,7 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("n_frames").cast("long").alias("n_frames"),
-        "mean_luma", "decode_error",
+        "mean_luma", "time_sec", "byte_offset", "decode_error",
     )
 
 
@@ -2441,7 +2450,9 @@ FROM documents WHERE doc_id % 5 <> 4
         )
         sql["video_frame_sample"] = _g.values_sql(
             _g.golden_video_frames(12, n_gif=2),
-            ["media_id", "frame_idx", "n_frames", "mean_luma", "decode_error"],
+            ["media_id", "frame_idx", "n_frames", "mean_luma", "time_sec",
+             "byte_offset", "decode_error"],
+            casts={"time_sec": "DOUBLE", "byte_offset": "BIGINT"},
         )
         sql["audio_features"] = _g.values_sql(
             _g.golden_audio_features(30, n_wav=3),

@@ -165,7 +165,9 @@ def test_video_frame_sample_plumbing(spark):
 
     rows = [(i, "video", encode_fake_video(16, 8, 5, seed=i), None, None)
             for i in range(4)]
-    rows.append((4, "video", b"\x00\x00\x00 ftypmp42", None, None))
+    # truncated mp4 → malformed-container ValueError; webm → codec seam
+    rows.append((4, "video", b"\x1aE\xdf\xa3webm" + b"x" * 8, None, None))
+    rows.append((5, "video", b"\x00\x00\x00 ftypmp42", None, None))
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "blob", "meta_w", "meta_h"]),
         schema=MEDIA,
@@ -182,6 +184,7 @@ def test_video_frame_sample_plumbing(spark):
     assert fr0.mean_luma == round(float(src[2].mean()), 4)
     # error isolation for real containers
     assert by_vid[4][0].decode_error == "NotImplementedError"
+    assert by_vid[5][0].decode_error == "ValueError"
 
     # frames → image pipeline: frame_blob is valid image_features input
     frames_media = video_frame_sample(media, every=2).filter(

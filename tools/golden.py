@@ -233,9 +233,14 @@ def golden_image_near_pairs(n: int = 40, max_hamming: int = 0) -> list[dict]:
 def golden_video_frames(n: int = 12, every: int = 2, n_gif: int = 2) -> list[dict]:
     """Twin of q_video_frame_sample's media: w=16+(i%3)*8, h=16,
     frames=4+(i%3), seed=i; every 2nd frame; plus one real-format error
-    row (media_id=n) and ``n_gif`` REAL animated-GIF blobs (ids n+1…,
+    row (media_id=n), ``n_gif`` REAL animated-GIF blobs (ids n+1…,
     16×16, 3+j frames, seed 100+id) — gray-palette GIF is lossless, so
-    the expected luma is the source array itself."""
+    the expected luma is the source array itself — and one REAL mp4
+    (id n+1+n_gif) whose expected keyframe-index rows are derived
+    arithmetically from the fixture's construction constants (sizes
+    30+(k*7)%40, sync samples 1/4/8 1-based, delta 512 @ timescale
+    12288, single chunk at byte 32 = 24-byte ftyp + 8-byte mdat header),
+    NOT by re-running the engine's box parser."""
     import numpy as np
 
     rows = []
@@ -248,10 +253,12 @@ def golden_video_frames(n: int = 12, every: int = 2, n_gif: int = 2) -> list[dic
             rows.append({
                 "media_id": i, "frame_idx": idx, "n_frames": nf,
                 "mean_luma": round(int(frame.sum()) / (w * h), 4),
+                "time_sec": None, "byte_offset": None,
                 "decode_error": None,
             })
     rows.append({"media_id": n, "frame_idx": None, "n_frames": None,
-                 "mean_luma": None, "decode_error": "NotImplementedError"})
+                 "mean_luma": None, "time_sec": None, "byte_offset": None,
+                 "decode_error": "NotImplementedError"})
     for i in range(n + 1, n + 1 + n_gif):
         nf = 3 + (i - n - 1)
         rng = np.random.default_rng(100 + i)
@@ -260,8 +267,20 @@ def golden_video_frames(n: int = 12, every: int = 2, n_gif: int = 2) -> list[dic
             rows.append({
                 "media_id": i, "frame_idx": idx, "n_frames": nf,
                 "mean_luma": round(int(frames[idx].sum()) / 256, 4),
+                "time_sec": None, "byte_offset": None,
                 "decode_error": None,
             })
+    mp4_id = n + 1 + n_gif
+    sizes = [30 + (k * 7) % 40 for k in range(10)]
+    sync0 = [0, 3, 7]  # 0-based twins of sync samples 1/4/8
+    for s in sync0[::every]:
+        rows.append({
+            "media_id": mp4_id, "frame_idx": s, "n_frames": 10,
+            "mean_luma": None,
+            "time_sec": round(s * 512 / 12288, 6),
+            "byte_offset": 32 + sum(sizes[:s]),
+            "decode_error": "decode_pending",
+        })
     return rows
 
 

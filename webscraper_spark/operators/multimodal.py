@@ -222,8 +222,11 @@ def decode_video(blob: bytes) -> np.ndarray:
         return np.frombuffer(blob[20 : 20 + w * h * n], dtype=np.uint8).reshape(n, h, w)
     if blob[:6] in GIF_MAGICS:
         return decode_gif_frames(blob)
+    # mp4: the CONTAINER is parsed (functions/mp4.py keyframe index,
+    # used by video_frame_sample for index-only rows); the pixel decode
+    # itself is the ffmpeg/pyav seam
     raise NotImplementedError(
-        "real video containers unavailable; plug ffmpeg/pyav here"
+        "real video codecs unavailable; plug ffmpeg/pyav here"
     )
 
 
@@ -269,9 +272,15 @@ VIDEO_FRAMES = T.StructType(
         T.StructField("n_frames", T.IntegerType(), True),
         T.StructField("frame_blob", T.BinaryType(), True),  # fake-image format
         T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("time_sec", T.DoubleType(), True),  # mp4 index rows
+        T.StructField("byte_offset", T.LongType(), True),  # mp4 index rows
         T.StructField("decode_error", T.StringType(), True),
     ]
 )
+
+#: marker for mp4 rows whose container index parsed but whose pixels
+#: wait on the ffmpeg/pyav seam — distinct from hard decode errors
+DECODE_PENDING = "decode_pending"
 
 
 def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
@@ -279,8 +288,14 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
     video into every ``every``-th frame, re-encoded in the fake-image
     format so the frames feed straight into :func:`image_features` /
     :func:`image_near_pairs` (dedup across videos = image near-dup over
-    sampled frames). One Arrow batch of videos in memory at a time;
-    output rows are frames, so repartition upstream for very long videos."""
+    sampled frames). For mp4 the container index IS parsed
+    (``functions/mp4.py``): every ``every``-th KEYFRAME becomes an
+    index-only row (frame_idx = sample number, time_sec + byte_offset
+    from the sample tables, ``decode_error = 'decode_pending'``) — the
+    ranged-read recipe a C codec consumes at scale. One Arrow batch of
+    videos in memory at a time; output rows are frames, so repartition
+    upstream for very long videos."""
+    from ..functions.mp4 import is_mp4, parse_mp4_index
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in VIDEO_FRAMES.fields]
@@ -288,6 +303,19 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 try:
+                    if blob is not None and is_mp4(blob):
+                        idx_info = parse_mp4_index(blob)
+                        keys = idx_info["keyframes"][::every]
+                        for kf in keys:
+                            rows.append({
+                                "media_id": mid, "frame_idx": kf["sample"],
+                                "n_frames": idx_info["n_samples"],
+                                "frame_blob": None, "mean_luma": None,
+                                "time_sec": kf["time_sec"],
+                                "byte_offset": kf["byte_offset"],
+                                "decode_error": DECODE_PENDING,
+                            })
+                        continue
                     frames = decode_video(blob)
                     n = frames.shape[0]
                     for idx in range(0, n, every):
@@ -302,12 +330,14 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
                             "media_id": mid, "frame_idx": idx, "n_frames": n,
                             "frame_blob": fr_blob,
                             "mean_luma": round(float(fr.mean()), 4),
+                            "time_sec": None, "byte_offset": None,
                             "decode_error": None,
                         })
                 except (NotImplementedError, ValueError, IndexError) as e:
                     rows.append({
                         "media_id": mid, "frame_idx": None, "n_frames": None,
                         "frame_blob": None, "mean_luma": None,
+                        "time_sec": None, "byte_offset": None,
                         "decode_error": type(e).__name__,
                     })
             yield pd.DataFrame(rows, columns=cols)
