@@ -1334,7 +1334,15 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select("url", "warc_ts", "text")
 
 
-_FIXTURE_CACHE: "dict[tuple[str, str], list]" = {}
+# one cached fixture per kind (last sf_dir wins): bench repeats hit the
+# cache; a process touching several scale factors doesn't pin one
+# corpus-sized byte blob per sf_dir forever
+_FIXTURE_CACHE: "dict[str, tuple[str, list]]" = {}
+
+
+def _fixture_cached(kind: str, sf_dir: str):
+    hit = _FIXTURE_CACHE.get(kind)
+    return hit[1] if hit is not None and hit[0] == sf_dir else None
 
 
 def _warc_fixture_files(spark: SparkSession, sf_dir: str) -> list:
@@ -1343,9 +1351,9 @@ def _warc_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     Driver-side render+gzip is test-harness work, not the operator under
     measurement, so the byte list is cached per sf_dir (VERDICT r04:
     fixture synthesis must not sit inside the timed bench body)."""
-    key = ("warc", sf_dir)
-    if key in _FIXTURE_CACHE:
-        return _FIXTURE_CACHE[key]
+    hit = _fixture_cached("warc", sf_dir)
+    if hit is not None:
+        return hit
     from webscraper_spark.sources.warc import build_warc
 
     ids = [r.doc_id for r in _read(spark, sf_dir, "documents").select("doc_id").collect()]
@@ -1369,7 +1377,7 @@ def _warc_fixture_files(spark: SparkSession, sf_dir: str) -> list:
         ("mem://warc/b.warc.gz",
          build_warc([rec(i) for i in ids[half:]], per_record_gzip=True)),
     ]
-    _FIXTURE_CACHE[key] = files
+    _FIXTURE_CACHE["warc"] = (sf_dir, files)
     return files
 
 
@@ -1395,9 +1403,9 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     """Deterministic 6-file sitemap fixture (five urlset shards, one
     gzipped, plus a sitemapindex) from the documents table's doc_ids;
     cached per sf_dir so bench repeats time only the parse pipeline."""
-    key = ("sitemap", sf_dir)
-    if key in _FIXTURE_CACHE:
-        return _FIXTURE_CACHE[key]
+    hit = _fixture_cached("sitemap", sf_dir)
+    if hit is not None:
+        return hit
     import gzip as _gzip
 
     ids = sorted(
@@ -1437,7 +1445,7 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
         + "</sitemapindex>"
     ).encode()
     files.append(("https://hub.example/sitemap_index.xml", index))
-    _FIXTURE_CACHE[key] = files
+    _FIXTURE_CACHE["sitemap"] = (sf_dir, files)
     return files
 
 

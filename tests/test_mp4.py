@@ -116,6 +116,64 @@ def test_malformed_inputs_raise_valueerror():
         parse_mp4_index(bad_sync)
 
 
+def test_fixed_size_stsz_bomb_rejected():
+    # a ~300-byte file declaring 2^24 fixed-size samples must raise at
+    # the header, not expand 16.7M-entry tables (review finding)
+    good = build_mp4(_samples([10, 10]), sync_samples=[1])
+    pos = good.find(b"stsz") - 4
+    bombed = (
+        good[:pos + 12]
+        + struct.pack(">II", 1, 1 << 24)  # fixed=1 byte, count=2^24
+        + good[pos + 20:]
+    )
+    with pytest.raises(ValueError, match="stsz|stts|chunk"):
+        parse_mp4_index(bombed)
+
+
+def test_missing_mdhd_raises_valueerror_not_typeerror():
+    blob = build_mp4(_samples([10]), sync_samples=[1])
+    with pytest.raises(ValueError, match="mdhd"):
+        parse_mp4_index(blob.replace(b"mdhd", b"free"))
+
+
+def test_sample_past_eof_rejected():
+    # truncating the tail of mdat (moov intact would be the faststart
+    # shape; emulate by forging a larger final sample size) must raise
+    blob = build_mp4(_samples([10, 10]), sync_samples=[1])
+    pos = blob.find(b"stsz") - 4
+    forged = (
+        blob[:pos + 20 + 4]
+        + struct.pack(">I", 1 << 20)  # second sample claims 1 MiB
+        + blob[pos + 28:]
+    )
+    with pytest.raises(ValueError, match="past EOF"):
+        parse_mp4_index(forged)
+
+
+def test_empty_stss_keeps_media_accounted(spark):
+    from webscraper_spark.operators.multimodal import (
+        DECODE_PENDING,
+        video_frame_sample,
+    )
+
+    blob = build_mp4(_samples([10, 10]), sync_samples=[1])
+    pos = blob.find(b"stss") - 4
+    # entry_count = 0 (legal empty stss); the stale entry bytes become
+    # in-box padding the parser never reads
+    empty_sync = blob[:pos + 12] + struct.pack(">I", 0) + blob[pos + 16:]
+    idx = parse_mp4_index(empty_sync)
+    assert idx["keyframes"] == []
+    media = spark.createDataFrame(
+        [(7, "video", empty_sync, None, None)],
+        "media_id long, kind string, blob binary, meta_w int, meta_h int",
+    )
+    rows = video_frame_sample(media, every=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["media_id"] == 7 and r["frame_idx"] is None
+    assert r["n_frames"] == 2 and r["decode_error"] == DECODE_PENDING
+
+
 def test_audio_only_mp4_has_no_video_track():
     blob = build_mp4(_samples([10]), sync_samples=[1])
     mutated = blob.replace(b"vide", b"soun")

@@ -171,6 +171,26 @@ def test_replay_of_committed_round_never_deletes_its_partition(
     assert store.read_delta("pages_ingest").count() == n_before
 
 
+def test_discovery_is_path_spelling_invariant(
+    spark, split_corpus, tmp_path_factory, monkeypatch
+):
+    # the ledger keys on the path, so relative vs absolute --drop-dir
+    # spellings across invocations must not re-ingest the same archive
+    from webscraper_spark.sources.warc_drop import ingest_new_warcs
+
+    _, _, in_a, _ = split_corpus
+    drop_abs = str(tmp_path_factory.mktemp("drop_rel"))
+    _write_warc_batch(drop_abs, "x.warc", in_a)
+    store = TableStore(spark, str(tmp_path_factory.mktemp("rel_store")))
+    parent, name = os.path.split(drop_abs)
+    monkeypatch.chdir(parent)
+    staged = ingest_new_warcs(store, name, round_no=1)  # RELATIVE spelling
+    assert staged and all(os.path.isabs(p) for p in staged)
+    store.commit_round(1)
+    assert discover_new_warcs(store, drop_abs) == []  # absolute spelling
+    assert discover_new_warcs(store, name + "/") == []  # trailing slash
+
+
 def test_inflight_temp_names_never_discovered(spark, split_corpus, tmp_path_factory):
     _, _, in_a, _ = split_corpus
     drop = str(tmp_path_factory.mktemp("drop_tmp"))

@@ -105,6 +105,14 @@ def _parse_stsz(buf: bytes, s: int, e: int) -> tuple[int, list[int]]:
     if n > MAX_SAMPLES:
         raise ValueError(f"stsz sample count {n} exceeds cap")
     if fixed:
+        # fixed-size path has no per-entry bytes to validate against, so
+        # bound the declared count by the file itself: n samples of
+        # `fixed` bytes must fit in the blob (header-bomb guard — a
+        # 300-byte file declaring 2^24 samples must not expand tables)
+        if fixed * n > len(buf):
+            raise ValueError(
+                f"stsz declares {n}x{fixed}-byte samples, file has {len(buf)} bytes"
+            )
         return n, [fixed] * n
     return n, _u32s(buf, p + 8, e, n, "stsz")
 
@@ -189,7 +197,10 @@ def _parse_mp4_index(blob: bytes) -> dict:
             continue
         tkhd = _find(blob, ts_, te_, b"tkhd")
         width, height = _tkhd_dims(blob, *tkhd) if tkhd else (0, 0)
-        timescale = _mdhd_timescale(blob, *_find(blob, *mdia, b"mdhd"))
+        mdhd = _find(blob, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("video trak missing mdhd")
+        timescale = _mdhd_timescale(blob, *mdhd)
         minf = _find(blob, *mdia, b"minf")
         stbl = _find(blob, *minf, b"stbl") if minf else None
         if stbl is None:
@@ -245,6 +256,16 @@ def _expand_tables(
                 sample += 1
     if sample < n_samples:
         raise ValueError("chunk map covers fewer samples than stsz declares")
+    # the index is a ranged-read recipe: every sample's bytes must exist
+    # in this blob (catches truncated-mid-mdat faststart files and forged
+    # chunk offsets at parse time, not at read time)
+    blob_len = len(blob)
+    for k in range(n_samples):
+        if offsets[k] + sizes[k] > blob_len:
+            raise ValueError(
+                f"sample {k + 1} spans [{offsets[k]}, {offsets[k] + sizes[k]}) "
+                f"past EOF ({blob_len})"
+            )
 
     if b"stss" in boxes:
         sync = _parse_stss(blob, *boxes[b"stss"])

@@ -306,6 +306,18 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
                     if blob is not None and is_mp4(blob):
                         idx_info = parse_mp4_index(blob)
                         keys = idx_info["keyframes"][::every]
+                        if not keys:
+                            # zero sync samples (legal empty stss): keep
+                            # the media accounted with one index-less
+                            # pending row instead of silently vanishing
+                            rows.append({
+                                "media_id": mid, "frame_idx": None,
+                                "n_frames": idx_info["n_samples"],
+                                "frame_blob": None, "mean_luma": None,
+                                "time_sec": None, "byte_offset": None,
+                                "decode_error": DECODE_PENDING,
+                            })
+                            continue
                         for kf in keys:
                             rows.append({
                                 "media_id": mid, "frame_idx": kf["sample"],

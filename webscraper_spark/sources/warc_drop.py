@@ -89,6 +89,10 @@ def _list_candidates(
     import time
 
     out = []
+    # abspath: the ledger keys on the path string, so the same archive
+    # must hash identically no matter how the caller spelled --drop-dir
+    # (relative vs absolute, trailing slash, different cwd)
+    drop_dir = os.path.abspath(drop_dir)
     for f in sorted(os.listdir(drop_dir)):
         if not f.endswith(_WARC_SUFFIXES):
             continue
