@@ -1231,9 +1231,11 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio plumbing: binary audio column → mapInPandas
     features (duration, RMS, zero crossings). ids 0-29 fake codec, id 30
-    an mp3 → error row, ids 31-33 REAL WAV files decoded by the stdlib
+    an ogg → error row, ids 31-33 REAL WAV files decoded by the stdlib
     codec (`ws/functions/wav.py` — PCM is lossless, so the golden twin
-    states expected features from the source samples)."""
+    states expected features from the source samples), id 34 a REAL CBR
+    mp3 whose frame-header walk (`ws/functions/mp3.py`) yields a
+    decode-pending row with sample-rate/duration from the index."""
     from webscraper_spark.operators.multimodal import (
         audio_features,
         encode_fake_audio,
@@ -1243,12 +1245,16 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _blob(ids: pd.Series) -> pd.Series:
         import numpy as np
 
+        from webscraper_spark.functions.mp3 import build_mp3
         from webscraper_spark.functions.wav import encode_wav
 
         def enc(i):
             i = int(i)
             if i == 30:
-                return b"ID3\x03mp3 junk"  # lossy format → error row
+                return b"OggS\x00vorbis junk"  # lossy format → error row
+            if i == 34:  # REAL mp3: frame-index row (decode pending)
+                return build_mp3(n_frames=57, bitrate_kbps=128,
+                                 sample_rate=44100, id3v2_bytes=64)
             if i > 30:  # REAL WAV (lossless 16-bit PCM sine tone)
                 j = i - 31
                 ns = 3000 + 500 * j
@@ -1261,7 +1267,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return ids.map(enc)
 
-    media = spark.range(34).select(
+    media = spark.range(35).select(
         F.col("id").alias("media_id"),
         F.lit("audio").alias("kind"),
         _blob(F.col("id")).alias("blob"),

@@ -211,7 +211,8 @@ def test_audio_features_values(spark):
 
     rows = [(0, "audio", encode_fake_audio(1600, 16000, seed=9), None, None),
             (1, "audio", b"RIFF....WAVE", None, None),  # malformed WAV
-            (2, "audio", b"ID3\x03mp3 junk", None, None)]  # lossy seam
+            (2, "audio", b"OggS\x00vorbis junk", None, None),  # lossy seam
+            (3, "audio", b"ID3\x03mp3 junk", None, None)]  # malformed mp3
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "blob", "meta_w", "meta_h"]),
         schema=MEDIA,
@@ -222,7 +223,9 @@ def test_audio_features_values(spark):
     assert out[0].duration_sec == 0.1
     assert out[0].rms == round(float(np.sqrt(np.mean(pcm * pcm))), 4)
     assert out[0].zero_crossings > 0
-    # WAV is now a real decodable format: malformed bytes are a
-    # ValueError row; only lossy codecs hit the NotImplementedError seam
+    # WAV is now a real decodable format and mp3 a real parsed container:
+    # malformed bytes of either are a ValueError row; only codecs with no
+    # container handling (ogg) hit the NotImplementedError seam
     assert out[1].decode_error == "ValueError"
     assert out[2].decode_error == "NotImplementedError"
+    assert out[3].decode_error == "ValueError"

@@ -286,9 +286,13 @@ def golden_video_frames(n: int = 12, every: int = 2, n_gif: int = 2) -> list[dic
 
 def golden_audio_features(n: int = 30, n_wav: int = 3) -> list[dict]:
     """Twin of q_audio_features' media: n_samples=8000+(i%5)*400,
-    sr=16000, seed=i; plus one real-format error row (media_id=n) and
+    sr=16000, seed=i; plus one real-format error row (media_id=n),
     ``n_wav`` REAL WAV blobs (ids n+1…, 16 kHz sine tones) — PCM is
-    lossless, so the expected features come from the source samples."""
+    lossless, so the expected features come from the source samples —
+    and one REAL CBR mp3 (id n+1+n_wav) whose decode-pending index row
+    is derived arithmetically from the fixture's construction constants
+    (57 MPEG-1 Layer-III frames × 1152 samples @ 44100 Hz), NOT by
+    re-running the engine's frame walker."""
     import math
 
     import numpy as np
@@ -324,6 +328,14 @@ def golden_audio_features(n: int = 30, n_wav: int = 3) -> list[dict]:
             "rms": round(math.sqrt(sq / ns), 4),
             "zero_crossings": zc, "decode_error": None,
         })
+    mp3_samples = 57 * 1152
+    rows.append({
+        "media_id": n + 1 + n_wav, "n_samples": mp3_samples,
+        "sample_rate": 44100,
+        "duration_sec": round(mp3_samples / 44100, 6),
+        "rms": None, "zero_crossings": None,
+        "decode_error": "decode_pending",
+    })
     return rows
 
 

@@ -260,6 +260,9 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
         return pcm, sr
     if blob[:4] == WAV_RIFF:
         return decode_wav(blob)
+    # mp3: the FRAME INDEX is parsed (functions/mp3.py, used by
+    # audio_features for duration/sample-rate rows); PCM decode itself
+    # is the soundfile/ffmpeg seam
     raise NotImplementedError(
         "lossy audio codecs unavailable; plug soundfile/ffmpeg here"
     )
@@ -375,7 +378,12 @@ AUDIO_FEATURES = T.StructType(
 def audio_features(media: DataFrame) -> DataFrame:
     """Audio feature extraction over binary audio columns (duration, RMS,
     zero-crossing count — the cheap curation features), same per-item
-    error isolation as :func:`image_features`."""
+    error isolation as :func:`image_features`. For mp3 the FRAME INDEX
+    is parsed (``functions/mp3.py``): sample rate, sample count and
+    duration come from the header walk with
+    ``decode_error = 'decode_pending'`` — the metadata a curation
+    filter needs, ahead of the soundfile/ffmpeg seam."""
+    from ..functions.mp3 import is_mp3, parse_mp3_index
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in AUDIO_FEATURES.fields]
@@ -386,6 +394,20 @@ def audio_features(media: DataFrame) -> DataFrame:
                        "duration_sec": None, "rms": None, "zero_crossings": None,
                        "decode_error": None}
                 try:
+                    if (
+                        blob is not None
+                        and blob[:8] != FAKE_AUDIO_MAGIC
+                        and is_mp3(bytes(blob))
+                    ):
+                        idx = parse_mp3_index(bytes(blob))
+                        row.update(
+                            n_samples=idx["n_samples"],
+                            sample_rate=idx["sample_rate"],
+                            duration_sec=idx["duration_sec"],
+                            decode_error=DECODE_PENDING,
+                        )
+                        rows.append(row)
+                        continue
                     pcm, sr = decode_audio(blob)
                     x = pcm.astype(np.float64)
                     row.update(
