@@ -49,6 +49,39 @@ def test_mpeg2_frame_math():
     assert idx["n_samples"] == 576 and idx["bitrate_kbps"] == 32
 
 
+def test_id3v24_footer_flag_skipped():
+    frames = build_mp3(n_frames=4)
+    size = 30
+    tag = (
+        b"ID3\x04\x00\x10"  # v2.4, footer flag set
+        + bytes([0, 0, (size >> 7) & 0x7F, size & 0x7F])
+        + b"\x00" * size
+        + b"3DI\x04\x00\x10" + bytes([0, 0, (size >> 7) & 0x7F, size & 0x7F])
+    )
+    idx = parse_mp3_index(tag + frames)
+    assert idx["n_frames"] == 4
+
+
+def test_tag_bytes_inside_final_frame_are_not_a_trailer():
+    # 'TAG' sitting exactly 128 bytes from EOF INSIDE a frame payload
+    # must not truncate the stream (the trailer is only recognized
+    # where the frame walk ends)
+    blob = bytearray(build_mp3(n_frames=3))  # 3 × 417-byte frames
+    pos = len(blob) - 128
+    assert blob[pos] == 0  # inside the last frame's zero payload
+    blob[pos:pos + 3] = b"TAG"
+    idx = parse_mp3_index(bytes(blob))
+    assert idx["n_frames"] == 3 and idx["n_samples"] == 3 * 1152
+
+
+def test_sample_count_always_fits_int32():
+    # MAX_FRAMES is the int32 guard for the AUDIO_FEATURES n_samples
+    # column: the largest walkable stream stays under 2^31 samples
+    from webscraper_spark.functions.mp3 import MAX_FRAMES
+
+    assert MAX_FRAMES * 1152 < 2**31
+
+
 def test_malformed_inputs_raise():
     good = build_mp3(n_frames=3)
     with pytest.raises(ValueError, match="past EOF|lost frame sync"):

@@ -17,9 +17,11 @@ from __future__ import annotations
 
 __all__ = ["is_mp3", "parse_mp3_index", "build_mp3"]
 
-#: walk guard — a 100 TB crawl shard should never see a single audio
-#: blob with more frames than this (≈ 48 h at 26 ms/frame)
-MAX_FRAMES = 1 << 22
+#: walk guard — bounds both runaway walks and the sample count:
+#: 1.5M frames × 1152 samples = 1.73e9 < 2^31, so n_samples always fits
+#: the int32 AUDIO_FEATURES column (≈ 10.8 h of audio at 26 ms/frame —
+#: no single crawl blob is legitimately longer)
+MAX_FRAMES = 1_500_000
 
 # bitrate kbps tables, index 1-14 (0 = "free", 15 = invalid)
 _BITRATES_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
@@ -71,6 +73,7 @@ def _skip_id3v2(blob: bytes) -> int:
         return 0
     if len(blob) < 10:
         raise ValueError("truncated ID3v2 header")
+    flags = blob[5]
     size_bytes = blob[6:10]
     if any(b & 0x80 for b in size_bytes):
         raise ValueError("ID3v2 size bytes must be syncsafe")
@@ -79,6 +82,8 @@ def _skip_id3v2(blob: bytes) -> int:
         | (size_bytes[2] << 7) | size_bytes[3]
     )
     end = 10 + size
+    if flags & 0x10:
+        end += 10  # v2.4 footer flag: a 10-byte '3DI' footer follows
     if end > len(blob):
         raise ValueError("ID3v2 tag extends past EOF")
     return end
@@ -90,25 +95,31 @@ def parse_mp3_index(blob: bytes) -> dict:
 
     Walks every frame (sync re-validated per frame, lengths from the
     header math — no seeking/guessing), skipping a leading ID3v2 tag
-    and a trailing 128-byte ID3v1 block. ``bitrate_kbps`` is the first
-    frame's rate; ``vbr`` is True when any frame differs. Raises
+    (v2.4 footer included) and a trailing 128-byte ID3v1 block. The
+    ID3v1 trailer is only recognized where the frame walk ENDS — 'TAG'
+    bytes that merely happen to sit 128 bytes from EOF inside a frame's
+    payload are never misread as a trailer. ``bitrate_kbps`` is the
+    first frame's rate; ``vbr`` is True when any frame differs. Raises
     ``ValueError`` on anything that is not a clean frame sequence."""
     pos = _skip_id3v2(blob)
     end = len(blob)
-    if end - pos >= 128 and blob[end - 128:end - 125] == b"TAG":
-        end -= 128  # ID3v1 trailer
-    first = _header(blob, pos)
-    if first is None:
-        raise ValueError("no MPEG Layer-III frame sync at stream start")
-    sample_rate = first["sample_rate"]
+    sample_rate = None
+    first_bitrate = 0
     n_frames = 0
     n_samples = 0
     bitrates = set()
     while pos < end:
         h = _header(blob, pos)
         if h is None:
+            if end - pos == 128 and blob[pos:pos + 3] == b"TAG":
+                break  # ID3v1 trailer after the last frame
+            if sample_rate is None:
+                raise ValueError("no MPEG Layer-III frame sync at stream start")
             raise ValueError(f"lost frame sync at byte {pos}")
-        if h["sample_rate"] != sample_rate:
+        if sample_rate is None:
+            sample_rate = h["sample_rate"]
+            first_bitrate = h["bitrate"]
+        elif h["sample_rate"] != sample_rate:
             raise ValueError("sample rate changes mid-stream")
         if pos + h["frame_len"] > end:
             raise ValueError(f"frame at byte {pos} spans past EOF")
@@ -118,12 +129,14 @@ def parse_mp3_index(blob: bytes) -> dict:
             raise ValueError(f"more than {MAX_FRAMES} frames")
         n_samples += h["spf"]
         pos += h["frame_len"]
+    if sample_rate is None:
+        raise ValueError("no MPEG Layer-III frame sync at stream start")
     return {
         "sample_rate": sample_rate,
         "n_frames": n_frames,
         "n_samples": n_samples,
         "duration_sec": round(n_samples / sample_rate, 6),
-        "bitrate_kbps": first["bitrate"] // 1000,
+        "bitrate_kbps": first_bitrate // 1000,
         "vbr": len(bitrates) > 1,
     }
 

@@ -394,10 +394,12 @@ def audio_features(media: DataFrame) -> DataFrame:
                        "duration_sec": None, "rms": None, "zero_crossings": None,
                        "decode_error": None}
                 try:
+                    # sniff on the first 4 bytes only — bytes(blob) of a
+                    # multi-MB item would be a per-row O(blob) copy
                     if (
                         blob is not None
-                        and blob[:8] != FAKE_AUDIO_MAGIC
-                        and is_mp3(bytes(blob))
+                        and bytes(blob[:4]) != FAKE_AUDIO_MAGIC[:4]
+                        and is_mp3(bytes(blob[:4]))
                     ):
                         idx = parse_mp3_index(bytes(blob))
                         row.update(

@@ -89,10 +89,11 @@ def _list_candidates(
     import time
 
     out = []
-    # abspath: the ledger keys on the path string, so the same archive
-    # must hash identically no matter how the caller spelled --drop-dir
-    # (relative vs absolute, trailing slash, different cwd)
-    drop_dir = os.path.abspath(drop_dir)
+    # realpath: the ledger keys on the path string, so the same archive
+    # must compare identically no matter how the caller spelled
+    # --drop-dir (relative vs absolute, trailing slash, different cwd,
+    # or a symlinked mount alias)
+    drop_dir = os.path.realpath(drop_dir)
     for f in sorted(os.listdir(drop_dir)):
         if not f.endswith(_WARC_SUFFIXES):
             continue
