@@ -1174,13 +1174,15 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video plumbing: binary video column → mapInPandas frame
     sampling (every 2nd frame re-encoded as a fake image, mean luma per
-    frame). ids 0-11 fake codec, id 12 a webm container → error row,
+    frame). ids 0-11 fake codec, id 12 an FLV container → error row,
     ids 13-14 REAL animated GIFs decoded by the stdlib codec
     (`ws/functions/gif.py` — gray palette is lossless, so the golden
     twin states expected luma from the source arrays), id 15 a REAL
     ISO-BMFF mp4 whose keyframe index (`ws/functions/mp4.py` stss/stts/
     stco parse) yields decode-pending rows with sample timestamps and
-    byte offsets. frame_blob is dropped here (binary literals don't
+    byte offsets, id 16 a REAL Matroska webm whose cue index
+    (`ws/functions/webm.py` EBML walk) does the same with absolute
+    cluster offsets. frame_blob is dropped here (binary literals don't
     embed in VALUES); its correctness is pytest-covered."""
     from webscraper_spark.operators.multimodal import (
         encode_fake_video,
@@ -1193,17 +1195,21 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from webscraper_spark.functions.gif import encode_gif
         from webscraper_spark.functions.mp4 import build_mp4
+        from webscraper_spark.functions.webm import build_webm
 
         def enc(i):
             i = int(i)
             if i == 12:
-                return b"\x1aE\xdf\xa3webm" + b"x" * 16  # webm → error row
+                return b"FLV\x01 codec-seam junk"  # no index → error row
             if i == 15:  # REAL mp4: keyframe index rows (decode pending)
                 sizes = [30 + (k * 7) % 40 for k in range(10)]
                 return build_mp4(
                     [bytes([65 + k]) * s for k, s in enumerate(sizes)],
                     sync_samples=[1, 4, 8],
                 )
+            if i == 16:  # REAL webm: cue index rows (decode pending)
+                return build_webm([j * 400 for j in range(5)],
+                                  cluster_size=40, duration_ms=1600)
             if i > 12:  # REAL animated GIF (lossless gray palette)
                 nf = 3 + (i - 13)
                 rng = np.random.default_rng(100 + i)
@@ -1212,7 +1218,7 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return ids.map(enc)
 
-    media = spark.range(16).select(
+    media = spark.range(17).select(
         F.col("id").alias("media_id"),
         F.lit("video").alias("kind"),
         _blob(F.col("id")).alias("blob"),

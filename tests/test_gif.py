@@ -104,7 +104,7 @@ def test_video_frame_sample_on_gif_blobs(spark):
     gifs = {i: _frames(n=4 + i, h=16, w=16, seed=i) for i in range(3)}
     rows = [(i, "video", bytearray(encode_gif(gifs[i])), None, None)
             for i in range(3)]
-    rows.append((9, "video", bytearray(b"\x1aE\xdf\xa3webm junk"), None, None))
+    rows.append((9, "video", bytearray(b"FLV\x01 codec-seam junk"), None, None))
     media = spark.createDataFrame(
         rows, "media_id long, kind string, blob binary, meta_w int, meta_h int"
     )

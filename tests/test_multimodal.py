@@ -165,9 +165,10 @@ def test_video_frame_sample_plumbing(spark):
 
     rows = [(i, "video", encode_fake_video(16, 8, 5, seed=i), None, None)
             for i in range(4)]
-    # truncated mp4 → malformed-container ValueError; webm → codec seam
-    rows.append((4, "video", b"\x1aE\xdf\xa3webm" + b"x" * 8, None, None))
+    # truncated mp4/webm → malformed-container ValueError; FLV → seam
+    rows.append((4, "video", b"FLV\x01 codec-seam junk", None, None))
     rows.append((5, "video", b"\x00\x00\x00 ftypmp42", None, None))
+    rows.append((6, "video", b"\x1aE\xdf\xa3webm" + b"x" * 8, None, None))
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "blob", "meta_w", "meta_h"]),
         schema=MEDIA,
@@ -185,6 +186,7 @@ def test_video_frame_sample_plumbing(spark):
     # error isolation for real containers
     assert by_vid[4][0].decode_error == "NotImplementedError"
     assert by_vid[5][0].decode_error == "ValueError"
+    assert by_vid[6][0].decode_error == "ValueError"
 
     # frames → image pipeline: frame_blob is valid image_features input
     frames_media = video_frame_sample(media, every=2).filter(

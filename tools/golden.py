@@ -281,6 +281,21 @@ def golden_video_frames(n: int = 12, every: int = 2, n_gif: int = 2) -> list[dic
             "byte_offset": 32 + sum(sizes[:s]),
             "decode_error": "decode_pending",
         })
+    # webm (id mp4_id+1): 5 cues at j*400 ms, cluster_size=40. Fixed-
+    # width EBML layout arithmetic (independent of the engine builder):
+    # segment payload starts at 25 (19-byte EBML header + 4-byte Segment
+    # id + 2-byte size); info(with duration)=26 + tracks=30 + cues
+    # header 6 + 28/cue; each cluster = 6 + cluster_size bytes
+    n_cues, csize = 5, 40
+    first_cluster = 25 + 26 + 30 + 6 + 28 * n_cues
+    for k, j in enumerate(range(0, n_cues, every)):
+        rows.append({
+            "media_id": mp4_id + 1, "frame_idx": k * every,
+            "n_frames": None, "mean_luma": None,
+            "time_sec": round(j * 400 / 1000, 6),
+            "byte_offset": first_cluster + j * (6 + csize),
+            "decode_error": "decode_pending",
+        })
     return rows
 
 

@@ -222,9 +222,10 @@ def decode_video(blob: bytes) -> np.ndarray:
         return np.frombuffer(blob[20 : 20 + w * h * n], dtype=np.uint8).reshape(n, h, w)
     if blob[:6] in GIF_MAGICS:
         return decode_gif_frames(blob)
-    # mp4: the CONTAINER is parsed (functions/mp4.py keyframe index,
-    # used by video_frame_sample for index-only rows); the pixel decode
-    # itself is the ffmpeg/pyav seam
+    # mp4 and webm: the CONTAINER is parsed (functions/mp4.py keyframe
+    # index, functions/webm.py cue index — used by video_frame_sample
+    # for index-only rows); the pixel decode itself is the ffmpeg/pyav
+    # seam, as is every container with no in-repo index (FLV, AVI, ...)
     raise NotImplementedError(
         "real video codecs unavailable; plug ffmpeg/pyav here"
     )
@@ -299,6 +300,16 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
     videos in memory at a time; output rows are frames, so repartition
     upstream for very long videos."""
     from ..functions.mp4 import is_mp4, parse_mp4_index
+    from ..functions.webm import is_webm, parse_webm_index
+
+    def _pending_row(mid, n_frames=None, frame_idx=None, time_sec=None,
+                     byte_offset=None):
+        return {
+            "media_id": mid, "frame_idx": frame_idx, "n_frames": n_frames,
+            "frame_blob": None, "mean_luma": None,
+            "time_sec": time_sec, "byte_offset": byte_offset,
+            "decode_error": DECODE_PENDING,
+        }
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in VIDEO_FRAMES.fields]
@@ -306,6 +317,23 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 try:
+                    if blob is not None and is_webm(bytes(blob[:4])):
+                        # Matroska cue index: one row per every-th cue
+                        # point (keyframe-bearing cluster); total frame
+                        # count is unknown without a cluster walk, so
+                        # n_frames stays null
+                        widx = parse_webm_index(bytes(blob))
+                        wkeys = widx["keyframes"][::every]
+                        if not wkeys:
+                            rows.append(_pending_row(mid))
+                            continue
+                        for k, kf in enumerate(wkeys):
+                            rows.append(_pending_row(
+                                mid, frame_idx=k * every,
+                                time_sec=kf["time_sec"],
+                                byte_offset=kf["byte_offset"],
+                            ))
+                        continue
                     if blob is not None and is_mp4(blob):
                         idx_info = parse_mp4_index(blob)
                         keys = idx_info["keyframes"][::every]
@@ -313,23 +341,17 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
                             # zero sync samples (legal empty stss): keep
                             # the media accounted with one index-less
                             # pending row instead of silently vanishing
-                            rows.append({
-                                "media_id": mid, "frame_idx": None,
-                                "n_frames": idx_info["n_samples"],
-                                "frame_blob": None, "mean_luma": None,
-                                "time_sec": None, "byte_offset": None,
-                                "decode_error": DECODE_PENDING,
-                            })
+                            rows.append(_pending_row(
+                                mid, n_frames=idx_info["n_samples"],
+                            ))
                             continue
                         for kf in keys:
-                            rows.append({
-                                "media_id": mid, "frame_idx": kf["sample"],
-                                "n_frames": idx_info["n_samples"],
-                                "frame_blob": None, "mean_luma": None,
-                                "time_sec": kf["time_sec"],
-                                "byte_offset": kf["byte_offset"],
-                                "decode_error": DECODE_PENDING,
-                            })
+                            rows.append(_pending_row(
+                                mid, n_frames=idx_info["n_samples"],
+                                frame_idx=kf["sample"],
+                                time_sec=kf["time_sec"],
+                                byte_offset=kf["byte_offset"],
+                            ))
                         continue
                     frames = decode_video(blob)
                     n = frames.shape[0]
