@@ -48,13 +48,47 @@ def test_audio_only_track_rejected():
         parse_webm_index(mutated)
 
 
-def test_missing_cues_rejected_toward_seam():
+def test_missing_cues_routes_to_codec_seam():
+    # a VALID but Cues-less webm (live-muxed / MediaRecorder output) is
+    # seam work, not corruption: NotImplementedError, so the error-row
+    # label stays distinguishable from malformed bytes
     blob = build_webm([0], cluster_size=16)
     pos = blob.find(b"\x1cS\xbbk")  # Cues id
     # rename Cues to a Void-like unknown id of the same length
     mutated = blob[:pos] + b"\x1cS\xbbj" + blob[pos + 4:]
-    with pytest.raises(ValueError, match="missing Cues"):
+    with pytest.raises(NotImplementedError, match="no Cues"):
         parse_webm_index(mutated)
+
+
+def test_unknown_size_cluster_does_not_swallow_cues():
+    # stream-muxed layout: an unknown-size Cluster BEFORE the Cues; the
+    # cluster's extent must end at the next same-level id, leaving the
+    # trailing Cues discoverable (RFC 8794 unknown-size rule). The
+    # baked cue offsets go stale when elements are rearranged, so this
+    # asserts discovery + times only.
+    blob = build_webm([0, 400], cluster_size=16)
+    # move Cues after the clusters and give the first cluster an
+    # unknown size (all-ones 2-byte VINT = 0x7FFF)
+    cues_pos = blob.find(b"\x1cS\xbbk")
+    cl_pos = blob.find(CLUSTER_ID)
+    assert cues_pos < cl_pos
+    cues_end = cl_pos
+    cues_bytes = blob[cues_pos:cues_end]
+    rest = blob[cues_end:]
+    streamed = bytearray(blob[:cues_pos] + rest + cues_bytes)
+    # first cluster: id(4) + size(2) — overwrite size with unknown
+    new_cl = streamed.find(CLUSTER_ID)
+    streamed[new_cl + 4:new_cl + 6] = b"\x7f\xff"
+    idx = parse_webm_index(bytes(streamed))
+    assert [k["time_sec"] for k in idx["keyframes"]] == [0.0, 0.4]
+
+
+def test_unknown_size_leaf_element_rejected():
+    blob = bytearray(build_webm([0], cluster_size=16))
+    pos = blob.find(b"\x15I\xa9f")  # Info id
+    blob[pos + 4:pos + 6] = b"\x7f\xff"  # Info with unknown size: illegal
+    with pytest.raises(ValueError, match="unknown-size"):
+        parse_webm_index(bytes(blob))
 
 
 def test_malformed_inputs_raise_valueerror():

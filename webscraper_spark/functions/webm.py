@@ -52,20 +52,26 @@ def is_webm(blob: bytes) -> bool:
     return len(blob) >= 4 and blob[:4] == EBML_MAGIC
 
 
-def _read_id(buf: bytes, pos: int, end: int) -> tuple[int, int]:
-    """EBML element ID: 1-4 bytes, length from leading-zero count,
-    returned WITH marker bits (the on-wire value)."""
-    if pos >= end:
-        raise ValueError("EBML id past end of parent")
-    first = buf[pos]
+def _vint_len(first: int, max_n: int, what: str) -> int:
     if first == 0:
-        raise ValueError("invalid EBML id lead byte 0x00")
+        raise ValueError(f"invalid EBML {what} lead byte 0x00")
     n = 1
     mask = 0x80
     while not first & mask:
         mask >>= 1
         n += 1
-    if n > 4 or pos + n > end:
+    if n > max_n:
+        raise ValueError(f"EBML {what} wider than {max_n} bytes")
+    return n
+
+
+def _read_id(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    """EBML element ID: 1-4 bytes, length from leading-zero count,
+    returned WITH marker bits (the on-wire value)."""
+    if pos >= end:
+        raise ValueError("EBML id past end of parent")
+    n = _vint_len(buf[pos], 4, "id")
+    if pos + n > end:
         raise ValueError("EBML id overruns parent")
     val = 0
     for b in buf[pos:pos + n]:
@@ -79,15 +85,10 @@ def _read_size(buf: bytes, pos: int, end: int) -> tuple["int | None", int]:
     if pos >= end:
         raise ValueError("EBML size past end of parent")
     first = buf[pos]
-    if first == 0:
-        raise ValueError("invalid EBML size lead byte 0x00")
-    n = 1
-    mask = 0x80
-    while not first & mask:
-        mask >>= 1
-        n += 1
-    if n > 8 or pos + n > end:
+    n = _vint_len(first, 8, "size")
+    if pos + n > end:
         raise ValueError("EBML size overruns parent")
+    mask = 0x80 >> (n - 1)
     val = first & (mask - 1)
     all_ones = val == mask - 1
     for b in buf[pos + 1:pos + n]:
@@ -96,15 +97,39 @@ def _read_size(buf: bytes, pos: int, end: int) -> tuple["int | None", int]:
     return (None if all_ones else val), pos + n
 
 
+_CLUSTER = 0x1F43B675
+_CLUSTER_BYTES = b"\x1fC\xb6u"
+_CUES_BYTES = b"\x1cS\xbbk"
+
+
 def _iter_elements(buf: bytes, start: int, end: int):
     """Yield (id, payload_start, payload_end) for the elements in
-    buf[start:end]. Unknown-size payloads extend to the parent's end
-    (legal for Segment/Cluster in streamed files)."""
+    buf[start:end]. Unknown size is legal only for Segment (extends to
+    the parent's end) and Cluster (RFC 8794: ends at the next
+    same-level element — the next Cluster or Cues id); any other
+    unknown-size element is malformed and raises rather than silently
+    swallowing its siblings."""
     pos = start
     while pos < end:
         eid, pos = _read_id(buf, pos, end)
         size, pos = _read_size(buf, pos, end)
-        pend = end if size is None else pos + size
+        if size is None:
+            if eid == _SEGMENT:
+                pend = end
+            elif eid == _CLUSTER:
+                nxt = [
+                    i for i in (
+                        buf.find(_CLUSTER_BYTES, pos, end),
+                        buf.find(_CUES_BYTES, pos, end),
+                    ) if i != -1
+                ]
+                pend = min(nxt) if nxt else end
+            else:
+                raise ValueError(
+                    f"unknown-size element 0x{eid:X} (only Segment/Cluster may)"
+                )
+        else:
+            pend = pos + size
         if pend > end:
             raise ValueError(f"element 0x{eid:X} overruns its parent")
         yield eid, pos, pend
@@ -143,7 +168,12 @@ def parse_webm_index(blob: bytes) -> dict:
     ``byte_offset`` is the ABSOLUTE blob offset of the keyframe's
     cluster (CueClusterPosition is segment-relative on the wire).
     Cues for non-video tracks are ignored. Raises ``ValueError`` on
-    malformed input, missing Cues, or a missing video track."""
+    malformed input or a missing video track; raises
+    ``NotImplementedError`` for a VALID but Cues-less file (live-muxed/
+    MediaRecorder output) — indexing one requires a cluster scan, which
+    belongs behind the codec seam, and the distinct exception keeps
+    'recoverable seam work' separable from 'corrupt bytes' in the
+    error-row column."""
     try:
         return _parse_webm_index(blob)
     except (struct.error, IndexError, OverflowError) as exc:
@@ -202,9 +232,9 @@ def _parse_webm_index(blob: bytes) -> dict:
 
     cues = _find(blob, *seg, _CUES)
     if cues is None:
-        raise ValueError(
-            "webm missing Cues (unindexed/streamed file: a cluster scan "
-            "belongs behind the codec seam, not the index path)"
+        raise NotImplementedError(
+            "webm has no Cues index (live-muxed/unindexed file); a "
+            "cluster scan belongs behind the ffmpeg seam, not this path"
         )
     keyframes = []
     for eid, s, e in _iter_elements(blob, *cues):

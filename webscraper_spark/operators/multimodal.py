@@ -276,14 +276,15 @@ VIDEO_FRAMES = T.StructType(
         T.StructField("n_frames", T.IntegerType(), True),
         T.StructField("frame_blob", T.BinaryType(), True),  # fake-image format
         T.StructField("mean_luma", T.DoubleType(), True),
-        T.StructField("time_sec", T.DoubleType(), True),  # mp4 index rows
-        T.StructField("byte_offset", T.LongType(), True),  # mp4 index rows
+        T.StructField("time_sec", T.DoubleType(), True),  # mp4/webm index rows
+        T.StructField("byte_offset", T.LongType(), True),  # mp4/webm index rows
         T.StructField("decode_error", T.StringType(), True),
     ]
 )
 
-#: marker for mp4 rows whose container index parsed but whose pixels
-#: wait on the ffmpeg/pyav seam — distinct from hard decode errors
+#: marker for container-index rows (mp4 keyframes, webm cues, mp3
+#: frames) whose metadata parsed but whose pixels/PCM wait on the
+#: ffmpeg/soundfile seam — distinct from hard decode errors
 DECODE_PENDING = "decode_pending"
 
 
@@ -292,13 +293,16 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
     video into every ``every``-th frame, re-encoded in the fake-image
     format so the frames feed straight into :func:`image_features` /
     :func:`image_near_pairs` (dedup across videos = image near-dup over
-    sampled frames). For mp4 the container index IS parsed
-    (``functions/mp4.py``): every ``every``-th KEYFRAME becomes an
-    index-only row (frame_idx = sample number, time_sec + byte_offset
-    from the sample tables, ``decode_error = 'decode_pending'``) — the
-    ranged-read recipe a C codec consumes at scale. One Arrow batch of
-    videos in memory at a time; output rows are frames, so repartition
-    upstream for very long videos."""
+    sampled frames). For mp4 AND webm the container index IS parsed
+    (``functions/mp4.py`` sample tables, ``functions/webm.py`` cues):
+    every ``every``-th KEYFRAME becomes an index-only row
+    (``decode_error = 'decode_pending'``; frame_idx = sample number for
+    mp4, cue ordinal for webm; n_frames = total samples for mp4, null
+    for webm where counting needs a cluster walk) — the ranged-read
+    recipe a C codec consumes at scale. A valid but Cues-less webm
+    raises toward the seam (NotImplementedError row), like FLV/AVI.
+    One Arrow batch of videos in memory at a time; output rows are
+    frames, so repartition upstream for very long videos."""
     from ..functions.mp4 import is_mp4, parse_mp4_index
     from ..functions.webm import is_webm, parse_webm_index
 
