@@ -1237,11 +1237,15 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio plumbing: binary audio column → mapInPandas
     features (duration, RMS, zero crossings). ids 0-29 fake codec, id 30
-    an ogg → error row, ids 31-33 REAL WAV files decoded by the stdlib
-    codec (`ws/functions/wav.py` — PCM is lossless, so the golden twin
-    states expected features from the source samples), id 34 a REAL CBR
-    mp3 whose frame-header walk (`ws/functions/mp3.py`) yields a
-    decode-pending row with sample-rate/duration from the index."""
+    a truncated ogg → malformed-error row, ids 31-33 REAL WAV files
+    decoded by the stdlib codec (`ws/functions/wav.py` — PCM is
+    lossless, so the golden twin states expected features from the
+    source samples), id 34 a REAL CBR mp3 whose frame-header walk
+    (`ws/functions/mp3.py`) yields a decode-pending row with
+    sample-rate/duration from the index, ids 35-36 REAL Ogg Opus and
+    Vorbis streams whose page-granule walk (`ws/functions/ogg.py`)
+    yields decode-pending rows (Opus reports the 48 kHz granule clock
+    and subtracts pre-skip)."""
     from webscraper_spark.operators.multimodal import (
         audio_features,
         encode_fake_audio,
@@ -1252,12 +1256,19 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from webscraper_spark.functions.mp3 import build_mp3
+        from webscraper_spark.functions.ogg import build_ogg
         from webscraper_spark.functions.wav import encode_wav
 
         def enc(i):
             i = int(i)
             if i == 30:
-                return b"OggS\x00vorbis junk"  # lossy format → error row
+                return b"OggS\x00vorbis junk"  # truncated page → error row
+            if i == 35:  # REAL Ogg Opus: page-granule index row
+                return build_ogg("opus", n_samples=96000, sample_rate=16000,
+                                 pre_skip=312)
+            if i == 36:  # REAL Ogg Vorbis: stereo 44.1 kHz
+                return build_ogg("vorbis", n_samples=66150,
+                                 sample_rate=44100, channels=2)
             if i == 34:  # REAL mp3: frame-index row (decode pending)
                 return build_mp3(n_frames=57, bitrate_kbps=128,
                                  sample_rate=44100, id3v2_bytes=64)
@@ -1273,7 +1284,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return ids.map(enc)
 
-    media = spark.range(35).select(
+    media = spark.range(37).select(
         F.col("id").alias("media_id"),
         F.lit("audio").alias("kind"),
         _blob(F.col("id")).alias("blob"),

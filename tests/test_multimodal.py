@@ -211,10 +211,20 @@ def test_audio_features_values(spark):
         encode_fake_audio,
     )
 
+    from webscraper_spark.functions.ogg import _F_BOS, _F_EOS, _page, build_ogg
+
+    theora = _page(7, 0, 0, _F_BOS, [b"\x80theora" + b"\x00" * 30]) + _page(
+        7, 1, 100, _F_EOS, [b"\x00" * 10]
+    )
     rows = [(0, "audio", encode_fake_audio(1600, 16000, seed=9), None, None),
             (1, "audio", b"RIFF....WAVE", None, None),  # malformed WAV
-            (2, "audio", b"OggS\x00vorbis junk", None, None),  # lossy seam
-            (3, "audio", b"ID3\x03mp3 junk", None, None)]  # malformed mp3
+            (2, "audio", b"OggS\x00vorbis junk", None, None),  # truncated page
+            (3, "audio", b"ID3\x03mp3 junk", None, None),  # malformed mp3
+            (4, "audio", build_ogg("opus", n_samples=4800), None, None),
+            (5, "audio",
+             build_ogg("vorbis", n_samples=22050, sample_rate=44100),
+             None, None),
+            (6, "audio", theora, None, None)]  # valid ogg, uncovered codec
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "blob", "meta_w", "meta_h"]),
         schema=MEDIA,
@@ -225,9 +235,16 @@ def test_audio_features_values(spark):
     assert out[0].duration_sec == 0.1
     assert out[0].rms == round(float(np.sqrt(np.mean(pcm * pcm))), 4)
     assert out[0].zero_crossings > 0
-    # WAV is now a real decodable format and mp3 a real parsed container:
-    # malformed bytes of either are a ValueError row; only codecs with no
-    # container handling (ogg) hit the NotImplementedError seam
+    # WAV is a real decodable format; mp3 AND ogg are real parsed
+    # containers: malformed bytes of any are a ValueError row, while a
+    # VALID ogg holding an uncovered codec (Theora) routes to the
+    # NotImplementedError seam
     assert out[1].decode_error == "ValueError"
-    assert out[2].decode_error == "NotImplementedError"
+    assert out[2].decode_error == "ValueError"
     assert out[3].decode_error == "ValueError"
+    assert (out[4].decode_error, out[4].n_samples, out[4].sample_rate,
+            out[4].duration_sec) == ("decode_pending", 4800, 48000, 0.1)
+    assert (out[5].decode_error, out[5].n_samples, out[5].sample_rate,
+            out[5].duration_sec) == ("decode_pending", 22050, 44100, 0.5)
+    assert out[6].decode_error == "NotImplementedError"
+    assert out[6].n_samples is None

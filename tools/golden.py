@@ -304,10 +304,14 @@ def golden_audio_features(n: int = 30, n_wav: int = 3) -> list[dict]:
     sr=16000, seed=i; plus one real-format error row (media_id=n),
     ``n_wav`` REAL WAV blobs (ids n+1…, 16 kHz sine tones) — PCM is
     lossless, so the expected features come from the source samples —
-    and one REAL CBR mp3 (id n+1+n_wav) whose decode-pending index row
+    one REAL CBR mp3 (id n+1+n_wav) whose decode-pending index row
     is derived arithmetically from the fixture's construction constants
     (57 MPEG-1 Layer-III frames × 1152 samples @ 44100 Hz), NOT by
-    re-running the engine's frame walker."""
+    re-running the engine's frame walker, and two REAL Ogg streams:
+    Opus (id n+2+n_wav: 96000 samples on the 48 kHz granule clock,
+    pre-skip already subtracted) and stereo Vorbis (id n+3+n_wav:
+    66150 samples @ 44100 Hz) — again stated from the build constants,
+    not the engine's page walker."""
     import math
 
     import numpy as np
@@ -325,9 +329,13 @@ def golden_audio_features(n: int = 30, n_wav: int = 3) -> list[dict]:
             "rms": round(math.sqrt(sq / ns), 4),
             "zero_crossings": zc, "decode_error": None,
         })
+    # id n is a 16-byte 'OggS…' stub: the ogg indexer rejects the
+    # truncated page header as malformed (ValueError), which since the
+    # ogg index path landed is distinct from the seam's
+    # NotImplementedError
     rows.append({"media_id": n, "n_samples": None, "sample_rate": None,
                  "duration_sec": None, "rms": None, "zero_crossings": None,
-                 "decode_error": "NotImplementedError"})
+                 "decode_error": "ValueError"})
     for i in range(n + 1, n + 1 + n_wav):
         j = i - n - 1
         ns, sr = 3000 + 500 * j, 16000
@@ -351,6 +359,13 @@ def golden_audio_features(n: int = 30, n_wav: int = 3) -> list[dict]:
         "rms": None, "zero_crossings": None,
         "decode_error": "decode_pending",
     })
+    for off, (ns, sr) in enumerate(((96000, 48000), (66150, 44100))):
+        rows.append({
+            "media_id": n + 2 + n_wav + off, "n_samples": ns,
+            "sample_rate": sr, "duration_sec": round(ns / sr, 6),
+            "rms": None, "zero_crossings": None,
+            "decode_error": "decode_pending",
+        })
     return rows
 
 

@@ -245,7 +245,9 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
     """Audio codec seam → (int16 samples, sample_rate). WAV (RIFF PCM —
     8/16/24/32-bit int and float32, any channel count, mixed to mono)
     decodes via the pure-Python ``functions.wav`` codec; lossy formats
-    (mp3/flac/ogg) raise where soundfile/ffmpeg would slot in."""
+    raise where soundfile/ffmpeg would slot in (mp3 and ogg get
+    CONTAINER-INDEX rows upstream in :func:`audio_features`; PCM
+    decode itself is the seam)."""
     from ..functions.wav import WAV_RIFF, decode_wav
 
     if blob is None:
@@ -404,12 +406,17 @@ AUDIO_FEATURES = T.StructType(
 def audio_features(media: DataFrame) -> DataFrame:
     """Audio feature extraction over binary audio columns (duration, RMS,
     zero-crossing count — the cheap curation features), same per-item
-    error isolation as :func:`image_features`. For mp3 the FRAME INDEX
-    is parsed (``functions/mp3.py``): sample rate, sample count and
-    duration come from the header walk with
-    ``decode_error = 'decode_pending'`` — the metadata a curation
-    filter needs, ahead of the soundfile/ffmpeg seam."""
+    error isolation as :func:`image_features`. For mp3 AND ogg the
+    CONTAINER INDEX is parsed (``functions/mp3.py`` frame headers,
+    ``functions/ogg.py`` page granules): sample rate, sample count and
+    duration come from the metadata walk with
+    ``decode_error = 'decode_pending'`` — what a curation filter needs,
+    ahead of the soundfile/ffmpeg seam. For ogg, ``sample_rate`` is the
+    granule clock (48 kHz for Opus regardless of input rate); a valid
+    ogg holding a codec outside Opus/Vorbis raises toward the seam
+    (NotImplementedError row), like a Cues-less webm."""
     from ..functions.mp3 import is_mp3, parse_mp3_index
+    from ..functions.ogg import OGG_MAGIC, parse_ogg_index
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in AUDIO_FEATURES.fields]
@@ -422,12 +429,14 @@ def audio_features(media: DataFrame) -> DataFrame:
                 try:
                     # sniff on the first 4 bytes only — bytes(blob) of a
                     # multi-MB item would be a per-row O(blob) copy
-                    if (
+                    head = b"" if blob is None else bytes(blob[:4])
+                    if head == OGG_MAGIC or (
                         blob is not None
-                        and bytes(blob[:4]) != FAKE_AUDIO_MAGIC[:4]
-                        and is_mp3(bytes(blob[:4]))
+                        and head != FAKE_AUDIO_MAGIC[:4]
+                        and is_mp3(head)
                     ):
-                        idx = parse_mp3_index(bytes(blob))
+                        idx = (parse_ogg_index if head == OGG_MAGIC
+                               else parse_mp3_index)(bytes(blob))
                         row.update(
                             n_samples=idx["n_samples"],
                             sample_rate=idx["sample_rate"],
