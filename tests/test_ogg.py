@@ -127,6 +127,20 @@ def test_missing_eos_is_truncation():
         parse_ogg_index(bytes(mutated))
 
 
+def test_eos_without_finishing_packet_rejected():
+    opus = build_ogg("opus", n_samples=4800, samples_per_page=4800)
+    last = opus.rfind(b"OggS")
+    mutated = bytearray(opus)
+    struct.pack_into("<q", mutated, last + 6, -1)  # EOS, nothing finishes
+    with pytest.raises(ValueError, match="finishing packet"):
+        parse_ogg_index(bytes(mutated))
+
+
+def test_builder_rejects_nonpositive_page_size():
+    with pytest.raises(ValueError, match="samples_per_page"):
+        build_ogg("opus", n_samples=100, samples_per_page=0)
+
+
 def test_granule_bomb_rejected():
     opus = build_ogg("opus", n_samples=4800, samples_per_page=4800)
     last = opus.rfind(b"OggS")

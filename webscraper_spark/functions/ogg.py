@@ -217,6 +217,14 @@ def _parse_ogg_index(blob: bytes, check_crc: bool) -> dict:
                     raise ValueError("ogg granule position runs backwards")
                 last_granule = g
             if page["htype"] & _F_EOS:
+                if g == -1:
+                    # the stream's final packet never completed — a
+                    # truncated upload remuxed with an EOS flag, not a
+                    # playable clip
+                    raise ValueError(
+                        "ogg EOS page without a finishing packet "
+                        "(granule -1: truncated final packet)"
+                    )
                 got_eos = True
         pos = page["body_end"]
     if target is None:
@@ -279,6 +287,8 @@ def build_ogg(
     of zeroed fake packets with accumulating granules and an EOS page
     whose granule encodes ``n_samples`` (+ ``pre_skip`` for Opus).
     Packet payloads are fake — PCM stays behind the codec seam."""
+    if samples_per_page <= 0:
+        raise ValueError("samples_per_page must be positive")
     if codec == "opus":
         ident = (b"OpusHead" + bytes([1, channels])
                  + struct.pack("<HIhB", pre_skip, sample_rate, 0, 0))
