@@ -1245,7 +1245,8 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample-rate/duration from the index, ids 35-36 REAL Ogg Opus and
     Vorbis streams whose page-granule walk (`ws/functions/ogg.py`)
     yields decode-pending rows (Opus reports the 48 kHz granule clock
-    and subtracts pre-skip)."""
+    and subtracts pre-skip), id 37 a REAL FLAC whose STREAMINFO
+    (`ws/functions/flac.py`) declares the sample count."""
     from webscraper_spark.operators.multimodal import (
         audio_features,
         encode_fake_audio,
@@ -1255,6 +1256,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _blob(ids: pd.Series) -> pd.Series:
         import numpy as np
 
+        from webscraper_spark.functions.flac import build_flac
         from webscraper_spark.functions.mp3 import build_mp3
         from webscraper_spark.functions.ogg import build_ogg
         from webscraper_spark.functions.wav import encode_wav
@@ -1269,6 +1271,9 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i == 36:  # REAL Ogg Vorbis: stereo 44.1 kHz
                 return build_ogg("vorbis", n_samples=66150,
                                  sample_rate=44100, channels=2)
+            if i == 37:  # REAL FLAC: STREAMINFO-declared index row
+                return build_flac(n_samples=110250, sample_rate=44100,
+                                  channels=2, bits_per_sample=16)
             if i == 34:  # REAL mp3: frame-index row (decode pending)
                 return build_mp3(n_frames=57, bitrate_kbps=128,
                                  sample_rate=44100, id3v2_bytes=64)
@@ -1284,7 +1289,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return ids.map(enc)
 
-    media = spark.range(37).select(
+    media = spark.range(38).select(
         F.col("id").alias("media_id"),
         F.lit("audio").alias("kind"),
         _blob(F.col("id")).alias("blob"),

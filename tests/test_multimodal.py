@@ -211,6 +211,7 @@ def test_audio_features_values(spark):
         encode_fake_audio,
     )
 
+    from webscraper_spark.functions.flac import build_flac
     from webscraper_spark.functions.ogg import _F_BOS, _F_EOS, _page, build_ogg
 
     theora = _page(7, 0, 0, _F_BOS, [b"\x80theora" + b"\x00" * 30]) + _page(
@@ -224,7 +225,10 @@ def test_audio_features_values(spark):
             (5, "audio",
              build_ogg("vorbis", n_samples=22050, sample_rate=44100),
              None, None),
-            (6, "audio", theora, None, None)]  # valid ogg, uncovered codec
+            (6, "audio", theora, None, None),  # valid ogg, uncovered codec
+            (7, "audio", build_flac(n_samples=8000, sample_rate=16000),
+             None, None),
+            (8, "audio", build_flac(n_samples=0), None, None)]  # unknown total
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "blob", "meta_w", "meta_h"]),
         schema=MEDIA,
@@ -248,3 +252,7 @@ def test_audio_features_values(spark):
             out[5].duration_sec) == ("decode_pending", 22050, 44100, 0.5)
     assert out[6].decode_error == "NotImplementedError"
     assert out[6].n_samples is None
+    assert (out[7].decode_error, out[7].n_samples, out[7].sample_rate,
+            out[7].duration_sec) == ("decode_pending", 8000, 16000, 0.5)
+    # declared-unknown total: duration needs the frame walk -> seam row
+    assert out[8].decode_error == "NotImplementedError"

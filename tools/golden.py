@@ -311,7 +311,8 @@ def golden_audio_features(n: int = 30, n_wav: int = 3) -> list[dict]:
     Opus (id n+2+n_wav: 96000 samples on the 48 kHz granule clock,
     pre-skip already subtracted) and stereo Vorbis (id n+3+n_wav:
     66150 samples @ 44100 Hz) — again stated from the build constants,
-    not the engine's page walker."""
+    not the engine's page walker — plus one REAL FLAC (id n+4+n_wav:
+    STREAMINFO declares 110250 samples @ 44100 Hz)."""
     import math
 
     import numpy as np
@@ -359,7 +360,9 @@ def golden_audio_features(n: int = 30, n_wav: int = 3) -> list[dict]:
         "rms": None, "zero_crossings": None,
         "decode_error": "decode_pending",
     })
-    for off, (ns, sr) in enumerate(((96000, 48000), (66150, 44100))):
+    for off, (ns, sr) in enumerate(
+        ((96000, 48000), (66150, 44100), (110250, 44100))
+    ):
         rows.append({
             "media_id": n + 2 + n_wav + off, "n_samples": ns,
             "sample_rate": sr, "duration_sec": round(ns / sr, 6),

@@ -406,15 +406,17 @@ AUDIO_FEATURES = T.StructType(
 def audio_features(media: DataFrame) -> DataFrame:
     """Audio feature extraction over binary audio columns (duration, RMS,
     zero-crossing count — the cheap curation features), same per-item
-    error isolation as :func:`image_features`. For mp3 AND ogg the
-    CONTAINER INDEX is parsed (``functions/mp3.py`` frame headers,
-    ``functions/ogg.py`` page granules): sample rate, sample count and
-    duration come from the metadata walk with
-    ``decode_error = 'decode_pending'`` — what a curation filter needs,
-    ahead of the soundfile/ffmpeg seam. For ogg, ``sample_rate`` is the
-    granule clock (48 kHz for Opus regardless of input rate); a valid
-    ogg holding a codec outside Opus/Vorbis raises toward the seam
+    error isolation as :func:`image_features`. For mp3, ogg AND flac
+    the CONTAINER INDEX is parsed (``functions/mp3.py`` frame headers,
+    ``functions/ogg.py`` page granules, ``functions/flac.py``
+    STREAMINFO): sample rate, sample count and duration come from the
+    metadata walk with ``decode_error = 'decode_pending'`` — what a
+    curation filter needs, ahead of the soundfile/ffmpeg seam. For ogg,
+    ``sample_rate`` is the granule clock (48 kHz for Opus regardless of
+    input rate); a valid ogg holding a codec outside Opus/Vorbis, or a
+    flac with unknown total_samples, raises toward the seam
     (NotImplementedError row), like a Cues-less webm."""
+    from ..functions.flac import FLAC_MAGIC, parse_flac_index
     from ..functions.mp3 import is_mp3, parse_mp3_index
     from ..functions.ogg import OGG_MAGIC, parse_ogg_index
 
@@ -430,13 +432,18 @@ def audio_features(media: DataFrame) -> DataFrame:
                     # sniff on the first 4 bytes only — bytes(blob) of a
                     # multi-MB item would be a per-row O(blob) copy
                     head = b"" if blob is None else bytes(blob[:4])
-                    if head == OGG_MAGIC or (
-                        blob is not None
-                        and head != FAKE_AUDIO_MAGIC[:4]
-                        and is_mp3(head)
-                    ):
-                        idx = (parse_ogg_index if head == OGG_MAGIC
-                               else parse_mp3_index)(bytes(blob))
+                    if head == OGG_MAGIC:
+                        indexer = parse_ogg_index
+                    elif head == FLAC_MAGIC:
+                        indexer = parse_flac_index
+                    elif (blob is not None
+                          and head != FAKE_AUDIO_MAGIC[:4]
+                          and is_mp3(head)):
+                        indexer = parse_mp3_index
+                    else:
+                        indexer = None
+                    if indexer is not None:
+                        idx = indexer(bytes(blob))
                         row.update(
                             n_samples=idx["n_samples"],
                             sample_rate=idx["sample_rate"],
