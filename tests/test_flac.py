@@ -79,12 +79,29 @@ def test_zero_rate_and_bomb_rejected():
     blob[info:info + 34] = bits.to_bytes(34, "big")
     with pytest.raises(ValueError, match="sample_rate 0"):
         parse_flac_index(bytes(blob))
+    # a >int32 declared total is LEGAL on the wire — it routes to the
+    # seam (not representable in the feature row), not to corruption
     blob = bytearray(build_flac(n_samples=4800))
     bits = int.from_bytes(blob[info:info + 34], "big")
-    bits |= (2**36 - 1) << 128  # forge a 36-bit total
+    bits |= (2**36 - 1) << 128  # max 36-bit total
     blob[info:info + 34] = bits.to_bytes(34, "big")
-    with pytest.raises(ValueError, match="exceeds"):
+    with pytest.raises(NotImplementedError, match="exceeds the int32"):
         parse_flac_index(bytes(blob))
+
+
+def test_reserved_sync_bit_rejected():
+    good = bytearray(build_flac())
+    pos = good.rfind(b"\xff\xf8")
+    good[pos + 1] = 0xFA  # reserved bit set: invalid per RFC 9639
+    with pytest.raises(ValueError, match="frame sync"):
+        parse_flac_index(bytes(good))
+    good[pos + 1] = 0xF9  # blocking-strategy bit set: valid
+    assert parse_flac_index(bytes(good))["n_samples"] == 44100
+
+
+def test_builder_rejects_oversized_total():
+    with pytest.raises(ValueError, match="36-bit"):
+        build_flac(n_samples=2**36)
 
 
 def test_duplicate_streaminfo_rejected():

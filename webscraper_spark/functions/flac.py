@@ -14,10 +14,11 @@ Honesty note: unlike the mp3 walk, ``total_samples`` is DECLARED
 metadata, not walked from frames. The parser therefore (a) verifies
 the metadata chain is well-formed end-to-end, (b) verifies a real
 FLAC frame sync immediately follows the last metadata block, and
-(c) caps the declared count at the int32 feature-column bound — and
-rows surface as ``decode_error='decode_pending'``, so a lying header
-is caught at decode time behind the seam, not silently trusted as
-features. A STREAMINFO that declares total_samples=0 ("unknown",
+(c) routes declared counts beyond the int32 feature-column bound to
+the seam (``NotImplementedError`` — a >12 h declaration is legal on
+the wire but not representable in the feature row) — and rows surface
+as ``decode_error='decode_pending'``, so a lying header is caught at
+decode time behind the seam, not silently trusted as features. A STREAMINFO that declares total_samples=0 ("unknown",
 legal for live captures) needs a frame walk to get a duration — that
 walk is seam work, so it raises ``NotImplementedError``, same split
 as a Cues-less webm. All corruption raises ``ValueError`` (C7).
@@ -29,8 +30,8 @@ __all__ = ["is_flac", "parse_flac_index", "build_flac"]
 
 FLAC_MAGIC = b"fLaC"
 
-#: declared-count ceiling — int32 column bound doubles as the bomb
-#: guard for the 36-bit total_samples field
+#: declared-count ceiling — the int32 feature-column bound; larger
+#: declarations (legal 36-bit values) route to the codec seam
 MAX_SAMPLES = 2**31 - 1
 
 _STREAMINFO = 0
@@ -87,7 +88,7 @@ def parse_flac_index(blob: bytes) -> dict:
     # 0b11111111111110, then a mandatory-zero reserved bit
     if pos + 2 > end:
         raise ValueError("FLAC stream ends before any audio frame")
-    if blob[pos] != 0xFF or (blob[pos + 1] & 0xFC) != 0xF8:
+    if blob[pos] != 0xFF or (blob[pos + 1] & 0xFE) != 0xF8:
         raise ValueError(f"no FLAC frame sync at byte {pos}")
     bits = int.from_bytes(info, "big")  # 272 bits, big-endian packed
     # field offsets from the top: min_block 16, max_block 16,
@@ -105,8 +106,13 @@ def parse_flac_index(blob: bytes) -> dict:
             "needs the frame walk behind the soundfile/ffmpeg seam"
         )
     if total > MAX_SAMPLES:
-        raise ValueError(
-            f"declared total_samples {total} exceeds {MAX_SAMPLES}"
+        # a >12 h declared length is valid on the wire (the 36-bit
+        # field allows it) but exceeds the int32 feature column —
+        # valid-but-unhandleable routes to the seam, like an
+        # unknown total, not to the corruption bucket
+        raise NotImplementedError(
+            f"declared total_samples {total} exceeds the int32 feature "
+            f"bound {MAX_SAMPLES}; route to the codec seam"
         )
     return {
         "codec": "flac",
@@ -137,8 +143,10 @@ def build_flac(
     fake — PCM stays behind the codec seam."""
     if not 1 <= channels <= 8 or not 4 <= bits_per_sample <= 32:
         raise ValueError("channels must be 1-8, bits_per_sample 4-32")
-    if sample_rate <= 0 or sample_rate >= 1 << 20 or n_samples < 0:
-        raise ValueError("sample_rate must fit 20 bits, n_samples >= 0")
+    if sample_rate <= 0 or sample_rate >= 1 << 20:
+        raise ValueError("sample_rate must fit 20 bits")
+    if not 0 <= n_samples < 1 << 36:
+        raise ValueError("n_samples must fit the 36-bit STREAMINFO field")
     bits = 0
     for width, val in (
         (16, 4096), (16, 4096),            # min/max block size
