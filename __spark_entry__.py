@@ -1141,7 +1141,14 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the stdlib decoder — the oracle's sequential golden twin decodes
     the same deterministic bytes, certifying the distributed decode
     plumbing (the codec itself is certified by tests/test_jpeg.py
-    round-trips + PIL parity)."""
+    round-trips + PIL parity); ids 48-49 REAL WebP headers (lossy VP8 +
+    lossless VP8L) whose dimension index (`ws/functions/webp.py`)
+    yields decode-pending rows with real width/height ahead of the
+    PIL/libwebp seam; id 50 a REAL progressive JPEG whose SOF2 frame
+    header (`parse_jpeg_dims`) does the same ahead of the progressive
+    codec seam; id 51 a REAL AVIF whose primary-item ispe property
+    (`ws/functions/avif.py`, pitm→ipma resolution) does the same ahead
+    of the libavif seam."""
     from webscraper_spark.functions.jpeg import encode_jpeg
     from webscraper_spark.operators.multimodal import encode_fake_image
 
@@ -1149,10 +1156,26 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _blob(ids: pd.Series) -> pd.Series:
         import numpy as np
 
+        from webscraper_spark.functions.webp import build_webp
+
         def enc(i):
             i = int(i)
             if i < 40:
                 return encode_fake_image(16 + (i % 5) * 4, 16, i)
+            if i == 48:
+                return build_webp(640, 360, "VP8")
+            if i == 49:
+                return build_webp(320, 200, "VP8L", has_alpha=True)
+            if i == 50:
+                from webscraper_spark.functions.jpeg import (
+                    build_progressive_jpeg,
+                )
+                return build_progressive_jpeg(1280, 720)
+            if i == 51:
+                from webscraper_spark.functions.avif import build_avif
+                # alpha item's ispe listed first: primary must still win
+                return build_avif(1024, 768, extra_items=((2, 512, 384),),
+                                  primary_last=True)
             yy, xx = np.mgrid[0:16, 0:20]
             img = (128 + 100 * np.sin(xx / 7.0 + (i - 40))
                    * np.cos(yy / 5.0)).astype(np.uint8)
@@ -1160,7 +1183,7 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return ids.map(enc)
 
-    media = spark.range(48).select(
+    media = spark.range(52).select(
         F.col("id").alias("media_id"),
         F.lit("image").alias("kind"),
         _blob(F.col("id")).alias("blob"),

@@ -225,3 +225,64 @@ def test_image_features_on_jpeg_blobs(spark):
         assert (r["width"], r["height"]) == (24, 24)
         assert abs(r["mean_luma"] - float(imgs[i].mean())) <= 2.0
     assert out[9]["decode_error"] == "ValueError"
+
+
+# --- dimension index (parse_jpeg_dims) -------------------------------------
+
+def test_parse_dims_progressive_fixture():
+    from webscraper_spark.functions.jpeg import (
+        UnsupportedJpegError,
+        build_progressive_jpeg,
+        parse_jpeg_dims,
+    )
+
+    blob = build_progressive_jpeg(1280, 720)
+    d = parse_jpeg_dims(blob)
+    assert (d["width"], d["height"]) == (1280, 720)
+    assert d["coding"] == "progressive" and d["progressive"]
+    assert d["n_components"] == 1 and d["precision"] == 8
+    # the decoder refuses the same bytes with the SEAM exception type
+    with pytest.raises(UnsupportedJpegError):
+        decode_jpeg_gray(blob)
+
+
+def test_parse_dims_baseline_and_forged_sof():
+    from webscraper_spark.functions.jpeg import parse_jpeg_dims
+
+    img = _smooth(24, 16)  # w=24? _smooth(h, w) — assert from result
+    blob = encode_jpeg(img, quality=85)
+    d = parse_jpeg_dims(blob)
+    assert (d["height"], d["width"]) == img.shape
+    assert d["coding"] == "baseline" and not d["progressive"]
+    # a forged SOF2 still indexes (that is the point): same dims
+    d2 = parse_jpeg_dims(blob.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    assert (d2["width"], d2["height"]) == (d["width"], d["height"])
+    assert d2["progressive"]
+
+
+def test_parse_dims_malformed_contract():
+    from webscraper_spark.functions.jpeg import (
+        build_progressive_jpeg,
+        parse_jpeg_dims,
+    )
+
+    blob = build_progressive_jpeg(64, 48)
+    with pytest.raises(ValueError):
+        parse_jpeg_dims(b"\x00\x00")  # bad SOI
+    with pytest.raises(ValueError):
+        parse_jpeg_dims(b"\xff\xd8\xff\xd9")  # EOI before SOF
+    sof = blob.index(b"\xff\xc2")
+    with pytest.raises(ValueError):
+        parse_jpeg_dims(blob[:sof + 4])  # truncated inside SOF
+    # DNL-deferred height (h=0) refused
+    import struct as _s
+    forged = bytearray(blob)
+    _s.pack_into(">H", forged, sof + 5, 0)
+    with pytest.raises(ValueError):
+        parse_jpeg_dims(bytes(forged))
+    # every fuzzed prefix obeys the ValueError-only contract
+    for cut in range(2, len(blob), 7):
+        try:
+            parse_jpeg_dims(blob[:cut])
+        except ValueError:
+            pass

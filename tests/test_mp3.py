@@ -120,7 +120,10 @@ def test_audio_features_emits_index_row_for_mp3(spark):
     assert r0["duration_sec"] == round(57 * 1152 / 44100, 6)
     assert r0["rms"] is None and r0["zero_crossings"] is None
     assert rows[1]["decode_error"] is None and rows[1]["rms"] is not None
-    assert rows[2]["decode_error"] == "NotImplementedError"
+    # OggS magic + garbage: the ogg indexer rejects malformed framing
+    # with a ValueError row (C7) — not the NotImplementedError seam,
+    # which is reserved for well-formed files awaiting a codec
+    assert rows[2]["decode_error"] == "ValueError"
     # PCM decode is still the seam
     with pytest.raises(NotImplementedError):
         decode_audio(mp3)

@@ -44,6 +44,53 @@ def test_image_features(spark):
     assert out[20]["width"] is None
 
 
+def test_phash_exact_next_to_null_in_same_batch(spark):
+    """Regression: a decode-error row (phash=None) in the same Arrow
+    batch as decoded rows must not coerce the phash column to float64 —
+    that silently rounds 64-bit hashes (>2^53) by up to 128 ulps."""
+    from webscraper_spark.operators.multimodal import _phash
+
+    rows = []
+    for i in range(8):
+        blob = encode_fake_image(32, 24, seed=i)
+        rows.append((i, "image", bytearray(blob), 32, 24))
+    rows.append((8, "image", bytearray(b"\x89PNG\r\n nope"), None, None))
+    media = spark.createDataFrame(rows, schema=MEDIA).coalesce(1)
+    out = {r["media_id"]: r["phash"] for r in image_features(media).collect()}
+    for i in range(8):
+        want = _phash(decode_image(encode_fake_image(32, 24, seed=i)))
+        assert out[i] == want, f"id {i}: {out[i]} != {want}"
+    assert out[8] is None
+
+
+def test_image_features_webp_dimension_index(spark):
+    """A WebP gets its RIFF/VP8 header parsed when pixel decode raises
+    toward the PIL seam: real dimensions, decode_pending marker."""
+    import pandas as pd
+
+    from webscraper_spark.operators.multimodal import MEDIA
+    from webscraper_spark.functions.webp import build_webp
+
+    rows = [(0, "image", build_webp(640, 360, "VP8"), None, None),
+            (1, "image", build_webp(320, 200, "VP8L", has_alpha=True),
+             None, None),
+            (2, "image", b"RIFF\x08\x00\x00\x00WEBPxx", None, None)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "blob",
+                                    "meta_w", "meta_h"]),
+        schema=MEDIA,
+    )
+    out = {r["media_id"]: r for r in image_features(media).collect()}
+    # environment-independent: the header index fires both on the no-PIL
+    # NotImplementedError and on the PIL-wrapped ValueError (PIL present
+    # but unable to decode the fake-payload webp)
+    assert out[0]["decode_error"] == "decode_pending"
+    assert (out[0]["width"], out[0]["height"]) == (640, 360)
+    assert (out[1]["width"], out[1]["height"]) == (320, 200)
+    assert out[0]["phash"] is None
+    assert out[2]["decode_error"] == "ValueError"  # corrupt framing
+
+
 def test_resize_stub(spark):
     out = {r["media_id"]: r for r in resize_stub(_media_df(spark), target=16).collect()}
     resized = decode_image(bytes(out[0]["blob"]))
@@ -256,3 +303,30 @@ def test_audio_features_values(spark):
             out[7].duration_sec) == ("decode_pending", 8000, 16000, 0.5)
     # declared-unknown total: duration needs the frame walk -> seam row
     assert out[8].decode_error == "NotImplementedError"
+
+
+def test_image_features_progressive_jpeg_dimension_index(spark):
+    """A progressive JPEG gets its SOF2 header indexed when the decoder
+    raises UnsupportedJpegError: real dimensions, decode_pending marker
+    (PIL absent) — while a CORRUPT baseline JPEG stays an error row."""
+    import pandas as pd
+
+    from webscraper_spark.operators.multimodal import MEDIA, _PIL
+    from webscraper_spark.functions.jpeg import build_progressive_jpeg
+
+    rows = [(0, "image", build_progressive_jpeg(1280, 720), None, None),
+            (1, "image", b"\xff\xd8\xff\xd9", None, None)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "blob",
+                                    "meta_w", "meta_h"]),
+        schema=MEDIA,
+    )
+    out = {r["media_id"]: r for r in image_features(media).collect()}
+    if _PIL is None:
+        assert out[0]["decode_error"] == "decode_pending"
+        assert (out[0]["width"], out[0]["height"]) == (1280, 720)
+        assert out[0]["phash"] is None and out[0]["mean_luma"] is None
+    else:  # PIL tries the fake scan data and fails -> error row
+        assert out[0]["decode_error"] == "ValueError"
+    assert out[1]["decode_error"] == "ValueError"  # EOI before SOF
+    assert out[1]["width"] is None

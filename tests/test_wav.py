@@ -114,4 +114,7 @@ def test_audio_features_on_wav_blobs(spark):
         assert r["duration_sec"] == pytest.approx((2000 + 500 * i) / 16000, abs=1e-6)
         x = tones[i].astype(np.float64)
         assert r["rms"] == pytest.approx(float(np.sqrt((x ** 2).mean())), rel=1e-6)
-    assert out[9]["decode_error"] == "NotImplementedError"
+    # ID3 magic + garbage: the mp3 indexer rejects malformed framing
+    # with a ValueError row (C7) — not the NotImplementedError seam,
+    # which is reserved for well-formed files awaiting a codec
+    assert out[9]["decode_error"] == "ValueError"

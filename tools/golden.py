@@ -178,7 +178,11 @@ def golden_image_features(n: int = 40, n_jpeg: int = 8) -> list[dict]:
     (20×16 sinusoid, quality 92) decoded sequentially with the same
     deterministic codec the engine runs distributed (the codec itself is
     certified independently by tests/test_jpeg.py); mean_luma rounded to
-    4 places."""
+    4 places; then two REAL WebP headers (VP8 640×360, VP8L 320×200),
+    a REAL progressive JPEG (SOF2 1280×720) and a REAL AVIF (primary
+    ispe 1024×768 behind an alpha item's) whose decode-pending
+    dimension rows are stated from the build constants, not the
+    engine's header walkers."""
     rows = []
     for i in range(n):
         w, h = 16 + (i % 5) * 4, 16
@@ -211,6 +215,25 @@ def golden_image_features(n: int = 40, n_jpeg: int = 8) -> list[dict]:
                     "phash": _avg_hash(px, 20, 16), "decode_error": None,
                 }
             )
+    from webscraper_spark.operators.multimodal import _PIL
+
+    if _PIL is not None:  # pragma: no cover - not this container
+        raise RuntimeError(
+            "golden ids 48-51 state decode_pending rows that assume the "
+            "no-PIL container; with PIL importable the progressive-JPEG "
+            "fixture (id 50) takes the PIL path instead — re-derive the "
+            "expected rows for a PIL environment before trusting this "
+            "golden there"
+        )
+    for off, (w, h) in enumerate(((640, 360), (320, 200), (1280, 720),
+                                  (1024, 768))):
+        rows.append(
+            {
+                "media_id": n + n_jpeg + off, "width": w, "height": h,
+                "mean_luma": None, "phash": None,
+                "decode_error": "decode_pending",
+            }
+        )
     return rows
 
 

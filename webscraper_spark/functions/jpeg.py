@@ -44,6 +44,28 @@ JPEG_SOI = b"\xff\xd8"
 # ≈ 134 MB) — far above real web images, far below a memory-bomb header
 MAX_PIXELS = 1 << 24
 
+
+class UnsupportedJpegError(ValueError):
+    """A well-formed JPEG using a coding process this decoder does not
+    implement (progressive, arithmetic, lossless, non-interleaved
+    multi-scan). Distinct from plain ``ValueError`` (malformed bytes) so
+    feature extractors can emit a ``decode_pending`` dimension-index row
+    (the header is still parseable via :func:`parse_jpeg_dims`) instead
+    of an error row — a codec-seam limitation is not a corrupt input."""
+
+
+#: SOFn marker id → coding-process name (T.81 table B.1). C4/C8/CC are
+#: DHT/JPG/DAC, not frame headers.
+_SOF_CODING = {
+    0xC0: "baseline", 0xC1: "extended sequential", 0xC2: "progressive",
+    0xC3: "lossless", 0xC5: "differential sequential",
+    0xC6: "differential progressive", 0xC7: "differential lossless",
+    0xC9: "extended sequential arithmetic", 0xCA: "progressive arithmetic",
+    0xCB: "lossless arithmetic", 0xCD: "differential sequential arithmetic",
+    0xCE: "differential progressive arithmetic",
+    0xCF: "differential lossless arithmetic",
+}
+
 # --- shared tables ----------------------------------------------------------
 
 
@@ -278,6 +300,57 @@ def decode_jpeg_gray(blob: bytes) -> np.ndarray:
         raise ValueError(f"malformed JPEG: {type(e).__name__}") from e
 
 
+def parse_jpeg_dims(blob: bytes) -> dict:
+    """JPEG header walk → ``{"width", "height", "n_components",
+    "precision", "coding", "progressive"}`` from the first SOFn marker —
+    NO entropy decode, O(header bytes).
+
+    This is the image-side dimension index for coding processes behind
+    the codec seam (progressive/arithmetic/lossless): dimensions,
+    component count and coding process come straight from the frame
+    header, so resolution-class curation filters run without a decoder.
+    Raises ``ValueError`` on malformed bytes (bad SOI, truncated
+    segments, DNL-deferred height, no SOF before EOI/EOF)."""
+    if blob[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    n = len(blob)
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            raise ValueError("expected marker")
+        # T.81 B.1.1.2 fill bytes, as in the decoder's segment loop
+        while pos + 1 < n and blob[pos + 1] == 0xFF:
+            pos += 1
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any frame header
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: bare
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated marker segment")
+        (seglen,) = struct.unpack(">H", blob[pos:pos + 2])
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("truncated segment")
+        if marker in _SOF_CODING:
+            if seglen < 8 or pos + 8 > n:
+                raise ValueError("truncated SOF segment")
+            prec, h, w, nc = struct.unpack(">BHHB", blob[pos + 2:pos + 8])
+            if h == 0:
+                raise ValueError("frame height deferred to DNL")
+            if w == 0 or not 1 <= nc <= 4:
+                raise ValueError("implausible frame header")
+            return {
+                "width": w, "height": h, "n_components": nc,
+                "precision": prec, "coding": _SOF_CODING[marker],
+                "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+            }
+        if marker == 0xDA:  # SOS without a frame header first
+            raise ValueError("SOS before SOF")
+        pos += seglen
+    raise ValueError("no SOF marker in JPEG header")
+
+
 def _decode_jpeg_gray(blob: bytes) -> np.ndarray:
     if blob[:2] != JPEG_SOI:
         raise ValueError("not a JPEG: bad SOI")
@@ -341,7 +414,9 @@ def _decode_jpeg_gray(blob: bytes) -> np.ndarray:
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+            raise UnsupportedJpegError(
+                f"non-baseline JPEG ({_SOF_CODING[marker]})"
+            )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -354,7 +429,7 @@ def _decode_jpeg_gray(blob: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
                 scan.append((comp, tt >> 4, tt & 0x0F))
             if ns != len(frame["comps"]):
-                raise ValueError("non-interleaved multi-scan unsupported")
+                raise UnsupportedJpegError("non-interleaved multi-scan unsupported")
             return _decode_scan(blob, pos + seglen, frame, scan, qts, huff, dri)
         # APPn / COM / others: skip
         pos += seglen
@@ -592,5 +667,35 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                         )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def build_progressive_jpeg(width: int, height: int) -> bytes:
+    """Fixture builder (tests/goldens only): a structurally valid
+    PROGRESSIVE JPEG head — SOI, JFIF APP0, DQT, SOF2 frame header with
+    the requested dimensions, DHT, first-scan SOS over fake entropy
+    bytes, EOI. ``parse_jpeg_dims`` reads real dimensions from it;
+    ``decode_jpeg_gray`` raises :class:`UnsupportedJpegError` at the
+    SOF2 marker (the codec-seam behavior the fixture exists to pin).
+    Scan data is fake — a real progressive decoder would reject it."""
+    if not (1 <= width <= 0xFFFF and 1 <= height <= 0xFFFF):
+        raise ValueError("JPEG dimensions must fit 16 bits")
+    zz = _zigzag()
+    qt = bytes(int(_QT_LUMA[i]) for i in zz)
+    out = bytearray(JPEG_SOI)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qt
+    # SOF2: progressive DCT, 8-bit precision, one component
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    bits, vals = _DC_LUMA
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+        + b"\x00" + bytes(bits) + bytes(vals)
+    # first scan: DC, successive approximation Ah=0 Al=1
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) \
+        + bytes([0, 0, 0x01])
+    out += b"\x5a\xa5\x00"  # fake entropy-coded bytes
     out += b"\xff\xd9"
     return bytes(out)

@@ -26,6 +26,25 @@ from pyspark.sql import types as T
 from ..functions.jpeg import JPEG_SOI, decode_jpeg_gray
 from ..functions.png import PNG_SIGNATURE, png_to_gray
 
+def _rows_to_pdf(rows: list[dict], schema: T.StructType) -> pd.DataFrame:
+    """List-of-dict rows → pandas frame for an Arrow batch, with integer
+    columns materialized as pandas nullable Int32/Int64 — NEVER float64.
+    ``pd.DataFrame(rows)`` coerces an int column containing a ``None``
+    (e.g. a decode-pending row next to decoded ones) to float64, which
+    silently rounds magnitudes above 2^53: a 64-bit phash came back off
+    by up to 128 whenever its batch also held an error row."""
+    data = {}
+    for f in schema.fields:
+        vals = [r[f.name] for r in rows]
+        if isinstance(f.dataType, T.LongType):
+            data[f.name] = pd.array(vals, dtype="Int64")
+        elif isinstance(f.dataType, T.IntegerType):
+            data[f.name] = pd.array(vals, dtype="Int32")
+        else:
+            data[f.name] = vals
+    return pd.DataFrame(data, columns=[f.name for f in schema.fields])
+
+
 MEDIA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -126,7 +145,40 @@ def _phash(img: np.ndarray, grid: int = 8) -> int:
 
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract images via mapInPandas (C7-style per-item
-    error isolation: decode failures become rows, not task failures)."""
+    error isolation: decode failures become rows, not task failures).
+    When full decode raises toward the PIL/libwebp seam, the image still
+    gets its HEADER INDEX parsed where the format allows it: a WebP's
+    RIFF + VP8/VP8L/VP8X headers (``functions/webp.py``) and a
+    non-baseline JPEG's SOFn frame header (``functions/jpeg.py
+    parse_jpeg_dims`` — progressive/arithmetic/lossless raise
+    ``UnsupportedJpegError`` at the codec seam, but dimensions live in
+    the marker stream) both yield real width/height with
+    ``decode_error = 'decode_pending'``, so resolution-class curation
+    filters run before any codec is paid for (the image-side analog of
+    the mp4/ogg index rows)."""
+    from ..functions.avif import is_avif, parse_avif_dims
+    from ..functions.jpeg import UnsupportedJpegError, parse_jpeg_dims
+    from ..functions.webp import is_webp, parse_webp_dims
+
+    def _header_dims(blob, exc):
+        """Format-specific dimension index for a seam-limited decode, or
+        None when the failure isn't a known codec-seam case. The
+        webp/avif sniff fires on NotImplementedError (no PIL at all)
+        AND on the PIL-wrapped ValueError (PIL importable but without
+        webp/avif support — the common deployment): either way the
+        container header still indexes. A corrupt blob fails its own
+        parse below and stays an error row."""
+        if isinstance(exc, UnsupportedJpegError):
+            return parse_jpeg_dims(bytes(blob))
+        if isinstance(exc, (NotImplementedError, ValueError)):
+            # sniffs read only the leading container header (a real ftyp
+            # box tops out well under 256 bytes), not the whole blob
+            head = bytes(blob[:256])
+            if is_webp(head):
+                return parse_webp_dims(bytes(blob))
+            if is_avif(head):
+                return parse_avif_dims(bytes(blob))
+        return None
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -141,9 +193,18 @@ def image_features(media: DataFrame) -> DataFrame:
                         mean_luma=round(float(img.mean()), 4), phash=_phash(img),
                     )
                 except (NotImplementedError, ValueError, IndexError) as e:
-                    row["decode_error"] = type(e).__name__
+                    try:
+                        dims = None if blob is None else _header_dims(blob, e)
+                        if dims is not None:
+                            row.update(width=dims["width"],
+                                       height=dims["height"],
+                                       decode_error=DECODE_PENDING)
+                        else:
+                            row["decode_error"] = type(e).__name__
+                    except (ValueError, NotImplementedError) as e2:
+                        row["decode_error"] = type(e2).__name__
                 rows.append(row)
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES.fields])
+            yield _rows_to_pdf(rows, IMAGE_FEATURES)
 
     return media.filter("kind = 'image'").select("media_id", "blob").mapInPandas(
         _batches, schema=IMAGE_FEATURES
@@ -184,7 +245,7 @@ def resize_stub(media: DataFrame, target: int = 64) -> DataFrame:
                 except (NotImplementedError, ValueError):
                     rows.append({"media_id": mid, "blob": None,
                                  "meta_w": None, "meta_h": None})
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            yield _rows_to_pdf(rows, out_schema)
 
     return media.filter("kind = 'image'").select("media_id", "blob").mapInPandas(
         _batches, schema=out_schema
@@ -318,7 +379,6 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
         }
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in VIDEO_FRAMES.fields]
         for pdf in it:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
@@ -383,7 +443,7 @@ def video_frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
                         "time_sec": None, "byte_offset": None,
                         "decode_error": type(e).__name__,
                     })
-            yield pd.DataFrame(rows, columns=cols)
+            yield _rows_to_pdf(rows, VIDEO_FRAMES)
 
     return media.filter("kind = 'video'").select("media_id", "blob").mapInPandas(
         _batches, schema=VIDEO_FRAMES
@@ -421,7 +481,6 @@ def audio_features(media: DataFrame) -> DataFrame:
     from ..functions.ogg import OGG_MAGIC, parse_ogg_index
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in AUDIO_FEATURES.fields]
         for pdf in it:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
@@ -464,7 +523,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                         ZeroDivisionError) as e:
                     row["decode_error"] = type(e).__name__
                 rows.append(row)
-            yield pd.DataFrame(rows, columns=cols)
+            yield _rows_to_pdf(rows, AUDIO_FEATURES)
 
     return media.filter("kind = 'audio'").select("media_id", "blob").mapInPandas(
         _batches, schema=AUDIO_FEATURES
