@@ -1500,6 +1500,55 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     return files
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction over binary blobs: ids 0-9 REAL multi-page
+    PDFs (classic xref, alternating Flate/uncompressed content streams)
+    built by `ws/functions/pdf.py build_pdf`; id 10 escape-heavy text;
+    id 11 a composite-font (Type0) document → flagged approximate;
+    id 12 an encrypted trailer → NotImplementedError seam row; id 13
+    truncated bytes → ValueError row. The golden twin states every text
+    from the same line-generation constants — it never runs the
+    engine's parser."""
+    from webscraper_spark.functions.pdf import build_pdf
+    from webscraper_spark.operators.multimodal import pdf_text
+
+    @F.pandas_udf(T.BinaryType())
+    def _blob(ids: pd.Series) -> pd.Series:
+        def enc(i):
+            i = int(i)
+            if i < 10:
+                pages = [
+                    [f"Doc {i} page {p} line {ln} of the crawl corpus."
+                     for ln in range(2)]
+                    for p in range(1 + i % 3)
+                ]
+                return build_pdf(pages, compress=(i % 2 == 0))
+            if i == 10:
+                return build_pdf(
+                    [["Parens (nested) and \\ backslash \xb0 doc 10."]]
+                )
+            if i == 11:
+                return build_pdf([["Composite font body."]]).replace(
+                    b"/Subtype /Type1", b"/Subtype /Type0"
+                )
+            if i == 12:
+                return build_pdf([["secret"]]).replace(
+                    b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+                )
+            return build_pdf([["gone"]])[:120]
+
+        return ids.map(enc)
+
+    docs = spark.range(14).select(
+        F.col("id").alias("doc_id"), _blob(F.col("id")).alias("blob")
+    )
+    # int-cast the flag for the gate: boolean canonicalization differs
+    # between pandas/duckdb dtype paths; 1/0/NULL hashes identically
+    return pdf_text(docs).withColumn(
+        "has_type0_fonts", F.col("has_type0_fonts").cast("int")
+    )
+
+
 def q_image_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: perceptual-hash banded Hamming pairs over the
     binary media column (rows-only; codec stubbed)."""
@@ -1614,7 +1663,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "curation_pipeline": q_curation_pipeline,
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
-        "token_counts": q_token_counts,
+        "pdf_extract": q_pdf_extract,
         "fingerprint": q_fingerprint,
         "compression_ratio": q_compression_ratio,
         "passage_dedup": q_passage_dedup,
@@ -1627,6 +1676,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "audio_features": q_audio_features,
         # --- slot 51+ (below the driver's 50-row window this round;
         # all green in r03 AND r04, rotating back in next round) ---
+        "token_counts": q_token_counts,
         "event_props_filter": q_event_props_filter,
         "clean_ratings": q_clean_ratings,
         "url_kernels": q_url_kernels,
@@ -2517,6 +2567,11 @@ FROM documents WHERE doc_id % 5 <> 4
             _g.golden_audio_features(30, n_wav=3),
             ["media_id", "n_samples", "sample_rate", "duration_sec", "rms",
              "zero_crossings", "decode_error"],
+        )
+        sql["pdf_extract"] = _g.values_sql(
+            _g.golden_pdf_extract(),
+            ["doc_id", "n_pages", "text", "has_type0_fonts", "pdf_error"],
+            casts={"pdf_error": "VARCHAR"},
         )
         sql["ivf_kmeans"] = _g.values_sql(
             _g.golden_ivf_kmeans(_gold_sf), ["centroid_id", "dim", "value"]

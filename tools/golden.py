@@ -684,3 +684,40 @@ def golden_near_dup_clusters_fast(
         for n in members:
             out.append({"node": n, "cluster_id": label})
     return sorted(out, key=lambda r: r["node"])
+
+
+def golden_pdf_extract() -> list[dict]:
+    """Twin of q_pdf_extract: expected rows stated from the fixture
+    construction constants (line-generation formula, escape string,
+    flag/seam/corrupt ids) — the engine's PDF parser is never run."""
+    rows = []
+    for i in range(10):
+        pages = [
+            "\n".join(
+                f"Doc {i} page {p} line {ln} of the crawl corpus."
+                for ln in range(2)
+            )
+            for p in range(1 + i % 3)
+        ]
+        rows.append({
+            "doc_id": i, "n_pages": 1 + i % 3, "text": "\n\n".join(pages),
+            "has_type0_fonts": 0, "pdf_error": None,
+        })
+    rows.append({
+        "doc_id": 10, "n_pages": 1,
+        "text": "Parens (nested) and \\ backslash \xb0 doc 10.",
+        "has_type0_fonts": 0, "pdf_error": None,
+    })
+    rows.append({
+        "doc_id": 11, "n_pages": 1, "text": "Composite font body.",
+        "has_type0_fonts": 1, "pdf_error": None,
+    })
+    rows.append({
+        "doc_id": 12, "n_pages": None, "text": None,
+        "has_type0_fonts": None, "pdf_error": "NotImplementedError",
+    })
+    rows.append({
+        "doc_id": 13, "n_pages": None, "text": None,
+        "has_type0_fonts": None, "pdf_error": "ValueError",
+    })
+    return rows

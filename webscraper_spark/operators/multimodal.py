@@ -565,3 +565,53 @@ def image_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+PDF_TEXT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_pages", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("has_type0_fonts", T.BooleanType(), True),
+        T.StructField("pdf_error", T.StringType(), True),
+    ]
+)
+
+
+def pdf_text(docs: DataFrame) -> DataFrame:
+    """Extract page text from binary PDF blobs via mapInPandas
+    (``functions/pdf.py`` — stdlib object scan + Flate/ASCII filters +
+    text-operator interpretation). Pages join with a blank line.
+    C7 error isolation: malformed PDFs become ``pdf_error='ValueError'``
+    rows; encrypted files and unsupported stream filters become
+    ``pdf_error='NotImplementedError'`` rows (the decryption/LZW seam) —
+    never task failures. ``has_type0_fonts=True`` flags composite-font
+    pages whose CMap-less text is approximate (the declared-metadata
+    honesty pattern, like the FLAC index).
+
+    Scale shape: each PDF parses entirely inside its executor task —
+    zero exchanges; repartition upstream by blob size so a partition's
+    PDFs fit executor memory."""
+    from ..functions.pdf import extract_pdf_text
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in it:
+            rows = []
+            for did, blob in zip(pdf_batch["doc_id"], pdf_batch["blob"]):
+                row = {"doc_id": did, "n_pages": None, "text": None,
+                       "has_type0_fonts": None, "pdf_error": None}
+                try:
+                    if blob is None:
+                        raise ValueError("null blob")
+                    r = extract_pdf_text(bytes(blob))
+                    row.update(
+                        n_pages=r["n_pages"],
+                        text="\n\n".join(r["pages"]),
+                        has_type0_fonts=r["has_type0_fonts"],
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    row["pdf_error"] = type(e).__name__
+                rows.append(row)
+            yield _rows_to_pdf(rows, PDF_TEXT)
+
+    return docs.select("doc_id", "blob").mapInPandas(_batches, schema=PDF_TEXT)
