@@ -207,3 +207,92 @@ def test_stream_body_cannot_inject_phantom_objects():
     blob = _pdf_with_content(evil)
     r = extract_pdf_text(blob)
     assert r["pages"] == ["see: 1 0 obj << /Type /Catalog >> endobj"]
+
+
+def test_plain_object_string_cannot_inject_phantom_objects():
+    """'N 0 obj' inside a literal STRING of a later non-stream object
+    (e.g. a document-info /Title) must not override real objects
+    either — the scan skips every parsed object body, not just
+    streams."""
+    info = (b"6 0 obj\n<< /Title "
+            b"(2 0 obj << /Type /Pages /Count 0 /Kids [] >>) >>"
+            b"\nendobj\n")
+    blob = _pdf_with_content(b"BT /F1 9 Tf (real text) Tj ET",
+                             extra_objs=info)
+    r = extract_pdf_text(blob)
+    assert r["pages"] == ["real text"]
+
+
+def test_objstm_redefinition_wins_by_file_order():
+    """Incremental updates repack redefined objects into appended
+    ObjStms: an unpacked definition overrides a direct one that appears
+    EARLIER in the file, and loses to one that appears later."""
+    def objstm(num: int, inner: bytes, onum: int) -> bytes:
+        header = f"{onum} 0 ".encode()
+        payload = zlib.compress(header + inner)
+        return (f"{num} 0 obj\n<< /Type /ObjStm /N 1 "
+                f"/First {len(header)} ".encode()
+                + b"/Filter /FlateDecode "
+                + f"/Length {len(payload)} >>".encode()
+                + b"\nstream\n" + payload + b"\nendstream\nendobj\n")
+
+    new_content = b"BT /F1 9 Tf (NEW TEXT) Tj ET"
+    new_obj = (b"6 0 obj\n<< /Length "
+               + str(len(new_content)).encode()
+               + b" >>\nstream\n" + new_content + b"\nendstream\nendobj\n")
+    repage = b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"
+    # appended ObjStm redefines page 3 to point at the new content
+    blob = _pdf_with_content(
+        b"BT /F1 9 Tf (OLD TEXT) Tj ET",
+        extra_objs=new_obj + objstm(7, repage, 3),
+    )
+    assert extract_pdf_text(blob)["pages"] == ["NEW TEXT"]
+    # mirror order: ObjStm first, then a direct redefinition after it
+    direct = b"3 0 obj\n" + repage + b"\nendobj\n"
+    blob2 = _pdf_with_content(
+        b"BT /F1 9 Tf (OLD TEXT) Tj ET",
+        extra_objs=new_obj + objstm(
+            7, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", 3
+        ) + direct,
+    )
+    assert extract_pdf_text(blob2)["pages"] == ["NEW TEXT"]
+
+
+def test_encryption_probe_ignores_page_content():
+    """A crawled document ABOUT PDF internals — its text contains
+    'trailer << /Encrypt ... >>' — must extract, not hit the seam."""
+    line = "trailer << /Encrypt 9 0 R >> is how encryption is declared"
+    r = extract_pdf_text(build_pdf([[line]], compress=False))
+    assert r["pages"] == [line]
+    assert r["n_pages"] == 1
+
+
+def test_encryption_probe_streams_hostile_blob():
+    """Millions of 'trailer' tokens must not accumulate slices (the
+    probe is a generator-style scan) — degrade to ValueError, fast."""
+    blob = b"%PDF-1.4\n" + b"trailer" * 200_000
+    with pytest.raises(ValueError):
+        extract_pdf_text(blob)
+
+
+def test_winansi_upper_range_decodes_cp1252():
+    """WinAnsi 0x80-0x9F are smart quotes/dashes, not C1 controls."""
+    line = "\x93quoted\x94 \x97 em"
+    r = extract_pdf_text(build_pdf([[line]]))
+    assert r["pages"] == ["“quoted” — em"]
+
+
+def test_type0_flag_respects_inherited_resources():
+    """Fonts declared once on the /Pages node (spec-legal inheritance,
+    pages omit /Resources) still set has_type0_fonts."""
+    extra = (b"5 0 obj\n<< /Type /Font /Subtype /Type0 "
+             b"/BaseFont /Noto /Encoding /Identity-H >>\nendobj\n")
+    blob = _pdf_with_content(b"BT /F1 10 Tf (cid text) Tj ET",
+                             extra_objs=extra)
+    blob = blob.replace(
+        b"/Type /Pages /Count 1",
+        b"/Type /Pages /Resources << /Font << /F1 5 0 R >> >> /Count 1",
+    )
+    r = extract_pdf_text(blob)
+    assert r["has_type0_fonts"] is True
+    assert r["pages"] == ["cid text"]

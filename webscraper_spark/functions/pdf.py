@@ -19,7 +19,10 @@ dependencies:
 
 Honesty contract: simple (Type1/TrueType) fonts with standard
 encodings extract exactly — the fixture builder emits these and the
-goldens assert byte-equal text. Composite ``/Type0`` (CID) fonts need
+goldens assert byte-equal text. ``/WinAnsiEncoding`` decodes via
+cp1252 (smart quotes/dashes in 0x80-0x9F land on the right code
+points); the translation applies page-wide, so a page mixing WinAnsi
+with another simple encoding is approximate in that byte range. Composite ``/Type0`` (CID) fonts need
 a CMap to map bytes to Unicode; pages using them are flagged
 ``has_type0_fonts=True`` so downstream curation can treat the text as
 approximate, the same honesty pattern as the FLAC declared-metadata
@@ -34,6 +37,7 @@ object scan is O(bytes) single-pass.
 
 from __future__ import annotations
 
+import bisect
 import re
 import zlib
 
@@ -127,17 +131,23 @@ def _parse_string(data: bytes, i: int) -> tuple[bytes, int]:
     raise ValueError("unterminated literal string")
 
 
+def _dehex(body: bytes) -> bytes:
+    """ASCIIHex payload → bytes (whitespace stripped, odd length padded
+    with '0' per spec). Shared by hex strings and ASCIIHexDecode."""
+    hx = bytes(c for c in body if c not in _WS)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (UnicodeDecodeError, ValueError) as e:
+        raise ValueError("bad hex string") from e
+
+
 def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
     end = data.find(b">", i + 1)
     if end < 0:
         raise ValueError("unterminated hex string")
-    hx = bytes(c for c in data[i + 1:end] if c not in _WS)
-    if len(hx) % 2:
-        hx += b"0"
-    try:
-        return bytes.fromhex(hx.decode("ascii")), end + 1
-    except (UnicodeDecodeError, ValueError) as e:
-        raise ValueError("bad hex string") from e
+    return _dehex(data[i + 1:end]), end + 1
 
 
 _NAME_ESC = re.compile(rb"#([0-9A-Fa-f]{2})")
@@ -238,11 +248,7 @@ def _decode_stream(obj: _Stream, objects: dict) -> bytes:
             except zlib.error as e:
                 raise ValueError(f"bad Flate stream: {e}") from e
         elif f == "/ASCIIHexDecode":
-            body = data.split(b">", 1)[0]
-            hx = bytes(c for c in body if c not in _WS)
-            if len(hx) % 2:
-                hx += b"0"
-            data = bytes.fromhex(hx.decode("ascii", "replace"))
+            data = _dehex(data.split(b">", 1)[0])
         elif f == "/ASCII85Decode":
             import base64
 
@@ -257,14 +263,24 @@ def _decode_stream(obj: _Stream, objects: dict) -> bytes:
     return data
 
 
-def _scan_objects(blob: bytes) -> dict:
-    """All indirect objects by number (last definition wins, matching
-    incremental-update semantics), object streams expanded. Matches
-    that begin inside a previously parsed object's stream body are
-    skipped — an uncompressed content stream containing the literal
+def _scan_objects(blob: bytes) -> tuple[dict, list]:
+    """All indirect objects by number (last definition in FILE ORDER
+    wins, matching incremental-update semantics — objects unpacked from
+    a ``/ObjStm`` take the stream's own offset), object streams
+    expanded. Returns ``(objects, spans)`` where ``spans`` is the
+    sorted list of ``(start, end)`` byte ranges of every parsed object
+    body. Matches that begin inside ANY previously parsed object body —
+    stream bytes or a literal string in a plain object — are skipped:
+    an uncompressed content stream or a string containing the literal
     text ``N 0 obj`` (a document about PDF syntax) must not inject
     phantom objects over real ones."""
     objects: dict[int, object] = {}
+    positions: dict[int, int] = {}  # winning definition's file offset
+    spans: list[tuple[int, int]] = []
+    # one pass for endstream anchors; per-stream lookup is a bisect,
+    # not a find-to-EOF (hostile repeated broken /Length would
+    # otherwise cost O(n_objects * blob_size))
+    endstreams = [em.start() for em in re.finditer(rb"endstream", blob)]
     count = 0
     skip_until = 0
     for m in _OBJ_RE.finditer(blob):
@@ -278,13 +294,14 @@ def _scan_objects(blob: bytes) -> dict:
             val, j = _parse_value(blob, m.end())
         except (ValueError, IndexError, RecursionError):
             continue  # tolerate one broken object, keep scanning
+        body_end = j
         if isinstance(val, dict):
             sm = _STREAM_RE.match(blob, _skip_ws(blob, j))
             if sm:
                 start = sm.end()
                 ln = val.get("/Length")
                 if isinstance(ln, _Ref):
-                    ln = None  # resolve below via endstream scan
+                    ln = None  # resolve below via endstream anchor
                 if isinstance(ln, int) and 0 <= ln <= len(blob) - start:
                     end = start + ln
                     # trust /Length only if endstream actually follows
@@ -292,35 +309,47 @@ def _scan_objects(blob: bytes) -> dict:
                     if b"endstream" not in tail:
                         ln = None
                 if not isinstance(ln, int):
-                    end = blob.find(b"endstream", start)
-                    if end < 0:
+                    k = bisect.bisect_left(endstreams, start)
+                    if k >= len(endstreams):
                         continue
-                    ln = end - start
+                    ln = endstreams[k] - start
                 raw = blob[start:start + ln].rstrip(b"\r\n")
                 val = _Stream(val, raw)
-                skip_until = start + ln
+                body_end = start + ln
+        skip_until = body_end
+        spans.append((m.start(), body_end))
         objects[num] = val
-    # expand object streams (PDF 1.5 compressed objects)
-    for num in list(objects):
+        positions[num] = m.start()
+    # expand object streams (PDF 1.5 compressed objects) in file order;
+    # an unpacked object overrides a direct definition only when the
+    # ObjStm appears LATER in the file (incremental updates repack
+    # redefined objects into appended ObjStms)
+    objstms = sorted(
+        (positions[num], num)
+        for num, obj in objects.items()
+        if isinstance(obj, _Stream) and obj.d.get("/Type") == "/ObjStm"
+    )
+    for st_pos, num in objstms:
         obj = objects[num]
-        if isinstance(obj, _Stream) and obj.d.get("/Type") == "/ObjStm":
-            try:
-                data = _decode_stream(obj, objects)
-                n_objs = obj.d.get("/N")
-                first = obj.d.get("/First")
-                if not (isinstance(n_objs, int) and isinstance(first, int)):
-                    continue
-                hdr, i = [], 0
-                for _ in range(min(n_objs, MAX_OBJECTS)):
-                    onum, i = _parse_value(data, i)
-                    off, i = _parse_value(data, i)
-                    hdr.append((onum, off))
-                for onum, off in hdr:
-                    v, _ = _parse_value(data, first + off)
-                    objects.setdefault(onum, v)
-            except (ValueError, NotImplementedError, IndexError):
+        try:
+            data = _decode_stream(obj, objects)
+            n_objs = obj.d.get("/N")
+            first = obj.d.get("/First")
+            if not (isinstance(n_objs, int) and isinstance(first, int)):
                 continue
-    return objects
+            hdr, i = [], 0
+            for _ in range(min(n_objs, MAX_OBJECTS)):
+                onum, i = _parse_value(data, i)
+                off, i = _parse_value(data, i)
+                hdr.append((onum, off))
+            for onum, off in hdr:
+                v, _ = _parse_value(data, first + off)
+                if isinstance(onum, int) and positions.get(onum, -1) < st_pos:
+                    objects[onum] = v
+                    positions[onum] = st_pos
+        except (ValueError, NotImplementedError, IndexError, TypeError):
+            continue
+    return objects, spans
 
 
 def _resolve(v, objects: dict):
@@ -333,34 +362,58 @@ def _resolve(v, objects: dict):
     return v
 
 
-def _walk_pages(node, objects: dict, out: list, depth: int = 0):
+def _walk_pages(node, objects: dict, out: list, inherited_res=None,
+                depth: int = 0):
+    """Collect ``(page_dict, effective_resources)`` in page-tree order.
+    ``/Resources`` is a spec-inheritable attribute: real generators
+    declare fonts once on a ``/Pages`` node and omit them per page, so
+    the effective resources carry down the tree."""
     node = _resolve(node, objects)
     if not isinstance(node, dict) or depth > 64:
         return
+    res = node.get("/Resources", inherited_res)
     t = node.get("/Type")
     if t == "/Page":
         if len(out) >= MAX_PAGES:
             raise ValueError("page count exceeds cap")
-        out.append(node)
+        out.append((node, res))
     elif t == "/Pages" or "/Kids" in node:
         kids = _resolve(node.get("/Kids"), objects)
         if isinstance(kids, list):
             for k in kids:
-                _walk_pages(k, objects, out, depth + 1)
+                _walk_pages(k, objects, out, res, depth + 1)
 
 
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
+# WinAnsiEncoding is cp1252: bytes 0x80-0x9F are smart quotes, dashes,
+# ellipsis etc., NOT the Latin-1 C1 controls. Translate just that range
+# on top of a latin-1 decode (the 5 cp1252-undefined bytes keep their
+# latin-1 identity so no byte is ever dropped).
+_WINANSI_FIX: dict[int, str] = {}
+for _b in range(0x80, 0xA0):
+    try:
+        _WINANSI_FIX[_b] = bytes([_b]).decode("cp1252")
+    except UnicodeDecodeError:
+        pass
+del _b
 
-def _page_text(content: bytes) -> str:
-    """Interpret the text operators of one content stream."""
+
+def _page_text(content: bytes, translate: "dict[int, str] | None" = None
+               ) -> str:
+    """Interpret the text operators of one content stream.
+    ``translate`` is an optional ``str.translate`` map applied to each
+    shown string (used for WinAnsiEncoding's cp1252 upper range)."""
     out: list[str] = []
     operands: list[object] = []
     i = 0
     n = len(content)
 
     def _show(b: bytes):
-        out.append(b.decode("latin-1"))
+        s = b.decode("latin-1")
+        if translate:
+            s = s.translate(translate)
+        out.append(s)
 
     def _newline():
         if out and not out[-1].endswith("\n"):
@@ -437,41 +490,71 @@ def extract_pdf_text(blob: bytes) -> dict:
         raise ValueError(f"malformed PDF: {type(e).__name__}") from e
 
 
+def _is_encrypted(blob: bytes, objects: dict, spans: list) -> bool:
+    """/Encrypt lives in the trailer dictionary (classic) or the xref
+    stream dict (1.5+). Parse actual trailer dicts outside any object
+    body — a page whose TEXT mentions ``trailer``/``/Encrypt`` (a
+    document about PDF internals) must not be misrouted to the seam.
+    Streaming check: no slices are accumulated, so hostile repeated
+    ``trailer`` tokens cost O(bytes), not O(matches * window)."""
+    starts = [s for s, _ in spans]
+
+    def _inside(pos: int) -> bool:
+        k = bisect.bisect_right(starts, pos) - 1
+        return k >= 0 and pos < spans[k][1]
+
+    for tm in re.finditer(rb"trailer\b", blob):
+        if _inside(tm.start()):
+            continue
+        j = _skip_ws(blob, tm.end())
+        if blob[j:j + 2] != b"<<":
+            continue
+        try:
+            d, _ = _parse_value(blob, j)
+        except (ValueError, IndexError, RecursionError):
+            continue
+        if isinstance(d, dict) and "/Encrypt" in d:
+            return True
+    for v in objects.values():
+        if (isinstance(v, _Stream) and v.d.get("/Type") == "/XRef"
+                and "/Encrypt" in v.d):
+            return True
+    return False
+
+
 def _extract(blob: bytes) -> dict:
     if not is_pdf(blob):
         raise ValueError("not a PDF (no %PDF- header)")
-    # /Encrypt lives in the trailer dictionary (classic) or the xref
-    # stream dict (1.5+) — probe those regions, not page content, so a
-    # document ABOUT encryption doesn't false-positive
-    tail_regions = []
-    for tm in re.finditer(rb"trailer", blob):
-        tail_regions.append(blob[tm.end():tm.end() + 512])
-    for xm in re.finditer(rb"/Type\s*/XRef", blob):
-        tail_regions.append(blob[max(0, xm.start() - 512):xm.end() + 512])
-    if any(b"/Encrypt" in region for region in tail_regions):
+    objects, spans = _scan_objects(blob)
+    if _is_encrypted(blob, objects, spans):
         raise NotImplementedError("encrypted PDF (decryption seam)")
-    objects = _scan_objects(blob)
     catalog = None
     for v in objects.values():
         if isinstance(v, dict) and v.get("/Type") == "/Catalog":
             catalog = v  # last one wins (incremental updates append)
     if catalog is None:
         raise ValueError("PDF has no document catalog")
-    pages: list[dict] = []
+    pages: list = []
     _walk_pages(catalog.get("/Pages"), objects, pages)
     if not pages:
         raise ValueError("PDF catalog has no pages")
     texts = []
     has_type0 = False
-    for pg in pages:
-        res = _resolve(pg.get("/Resources"), objects)
+    for pg, res in pages:
+        res = _resolve(res, objects)
+        translate = None
         if isinstance(res, dict):
             fonts = _resolve(res.get("/Font"), objects)
             if isinstance(fonts, dict):
                 for f in fonts.values():
                     fd = _resolve(f, objects)
-                    if isinstance(fd, dict) and fd.get("/Subtype") == "/Type0":
+                    if not isinstance(fd, dict):
+                        continue
+                    if fd.get("/Subtype") == "/Type0":
                         has_type0 = True
+                    enc = _resolve(fd.get("/Encoding"), objects)
+                    if enc == "/WinAnsiEncoding":
+                        translate = _WINANSI_FIX
         contents = _resolve(pg.get("/Contents"), objects)
         parts = contents if isinstance(contents, list) else [contents]
         buf = bytearray()
@@ -480,7 +563,7 @@ def _extract(blob: bytes) -> dict:
             if isinstance(part, _Stream):
                 buf += _decode_stream(part, objects)
                 buf += b"\n"
-        texts.append(_page_text(bytes(buf)).rstrip("\n"))
+        texts.append(_page_text(bytes(buf), translate).rstrip("\n"))
     return {"n_pages": len(texts), "pages": texts,
             "has_type0_fonts": has_type0}
 
