@@ -286,3 +286,11 @@ def test_parse_dims_malformed_contract():
             parse_jpeg_dims(blob[:cut])
         except ValueError:
             pass
+    # fill bytes running to EOF must be ValueError, not IndexError
+    with pytest.raises(ValueError):
+        parse_jpeg_dims(b"\xff\xd8" + b"\xff" * 4)
+    # bare-RST prefix desyncs the walk into a trailing 0xFF run: still
+    # the ValueError-only contract (this shape escaped into the Spark
+    # task as IndexError before the wrapper)
+    with pytest.raises(ValueError):
+        parse_jpeg_dims(b"\xff\xd8\xff\xd0\xff\xe0" + b"\xff" * 64)

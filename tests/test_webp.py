@@ -57,6 +57,12 @@ def test_malformed_inputs_raise_valueerror():
     inter[20] |= 0x01  # frame-type bit of the VP8 tag
     with pytest.raises(ValueError, match="keyframe"):
         parse_webp_dims(bytes(inter))
+    # forged zero dims: corruption, not an indexable 0x0 row (matches
+    # the avif/jpeg walkers' zero-extent refusal)
+    zeroed = bytearray(good)
+    struct.pack_into("<HH", zeroed, 26, 0x4000, 0x4000)  # 14-bit dims = 0
+    with pytest.raises(ValueError, match="zero extent"):
+        parse_webp_dims(bytes(zeroed))
     # broken start code
     sc = bytearray(good)
     sc[23] = 0x00

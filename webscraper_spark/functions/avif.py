@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import struct
 
-from .mp4 import _box, _find, _full, _iter_boxes
+from .mp4 import _box, _find, _full, _fullbox, _iter_boxes
 
 __all__ = ["is_avif", "parse_avif_dims", "build_avif"]
 
@@ -151,12 +151,6 @@ def parse_avif_dims(blob: bytes) -> dict:
 # ---------------------------------------------------------------------------
 # fixture builder (tests/goldens only)
 # ---------------------------------------------------------------------------
-
-def _fullbox(btype: bytes, payload: bytes, version: int = 0,
-             flags: int = 0) -> bytes:
-    # mp4's _fullbox hardcodes flags=0; ipma needs the flags field
-    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
-
 
 def build_avif(
     width: int,

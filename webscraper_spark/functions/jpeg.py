@@ -310,7 +310,16 @@ def parse_jpeg_dims(blob: bytes) -> dict:
     component count and coding process come straight from the frame
     header, so resolution-class curation filters run without a decoder.
     Raises ``ValueError`` on malformed bytes (bad SOI, truncated
-    segments, DNL-deferred height, no SOF before EOI/EOF)."""
+    segments, DNL-deferred height, no SOF before EOI/EOF) — like
+    ``decode_jpeg_gray``, stray indexing/unpack errors on hostile
+    input are wrapped so the contract stays ValueError-only (C7)."""
+    try:
+        return _parse_jpeg_dims(blob)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed JPEG header: {type(e).__name__}") from e
+
+
+def _parse_jpeg_dims(blob: bytes) -> dict:
     if blob[:2] != JPEG_SOI:
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -321,6 +330,8 @@ def parse_jpeg_dims(blob: bytes) -> dict:
         # T.81 B.1.1.2 fill bytes, as in the decoder's segment loop
         while pos + 1 < n and blob[pos + 1] == 0xFF:
             pos += 1
+        if pos + 2 > n:  # fill bytes ran to EOF
+            raise ValueError("truncated marker")
         marker = blob[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before any frame header

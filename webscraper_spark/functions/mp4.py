@@ -305,8 +305,9 @@ def _box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + btype + payload
 
 
-def _fullbox(btype: bytes, payload: bytes, version: int = 0) -> bytes:
-    return _box(btype, bytes([version, 0, 0, 0]) + payload)
+def _fullbox(btype: bytes, payload: bytes, version: int = 0,
+             flags: int = 0) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
 
 
 def build_mp4(

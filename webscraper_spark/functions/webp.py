@@ -52,8 +52,14 @@ def _vp8_dims(payload: bytes) -> dict:
     if payload[3:6] != _VP8_START:
         raise ValueError("missing VP8 keyframe start code")
     w, h = struct.unpack_from("<HH", payload, 6)
+    w &= 0x3FFF
+    h &= 0x3FFF
+    if w == 0 or h == 0:
+        # match the avif/jpeg walkers: a zero extent is corruption, not
+        # an indexable dimension row
+        raise ValueError("VP8 frame declares zero extent")
     return {
-        "format": "VP8", "width": (w & 0x3FFF), "height": (h & 0x3FFF),
+        "format": "VP8", "width": w, "height": h,
         "lossless": False, "has_alpha": False, "has_animation": False,
     }
 

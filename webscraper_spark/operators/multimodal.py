@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..functions.jpeg import JPEG_SOI, decode_jpeg_gray
+from ..functions.jpeg import JPEG_SOI, UnsupportedJpegError, decode_jpeg_gray
 from ..functions.png import PNG_SIGNATURE, png_to_gray
 
 def _rows_to_pdf(rows: list[dict], schema: T.StructType) -> pd.DataFrame:
@@ -107,13 +107,18 @@ def decode_image(blob: bytes) -> np.ndarray:
         return np.frombuffer(blob[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
     if blob[:8] == PNG_SIGNATURE:
         return png_to_gray(blob)
+    jpeg_seam = None
     if blob[:2] == JPEG_SOI:
         try:
             return decode_jpeg_gray(blob)
+        except UnsupportedJpegError as e:
+            if _PIL is None:
+                raise
+            jpeg_seam = e  # PIL may decode progressive; if not, re-raise
         except ValueError:
             if _PIL is None:
                 raise
-            # progressive/exotic JPEG: let PIL try below
+            # corrupt baseline JPEG: let PIL try below
     if _PIL is not None:
         import io
 
@@ -121,6 +126,11 @@ def decode_image(blob: bytes) -> np.ndarray:
             with _PIL.open(io.BytesIO(blob)) as img:
                 return np.asarray(img.convert("L"), dtype=np.uint8)
         except Exception as e:  # corrupt bytes → per-item error row
+            if jpeg_seam is not None:
+                # PIL can't decode it either (arithmetic/lossless):
+                # surface the seam error so the dimension index still
+                # fires in PIL-present deployments
+                raise jpeg_seam from e
             raise ValueError(f"undecodable image: {type(e).__name__}") from e
     raise NotImplementedError(
         "real image codecs unavailable (PIL not importable); fake format only"
