@@ -1549,6 +1549,49 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX text extraction over binary blobs: ids 0-9 REAL OPC
+    packages (alternating deflate/stored members) built by
+    `ws/functions/docx.py build_docx`; id 10 XML-escape-heavy text;
+    id 11 a field-code document → flagged approximate; id 12 an OLE2
+    container (legacy .doc / encrypted OOXML) → NotImplementedError
+    seam row; id 13 truncated bytes → ValueError row. The golden twin
+    states every text from the same paragraph-generation constants —
+    it never runs the engine's extractor."""
+    from webscraper_spark.functions.docx import build_docx
+    from webscraper_spark.operators.multimodal import docx_text
+
+    @F.pandas_udf(T.BinaryType())
+    def _blob(ids: pd.Series) -> pd.Series:
+        def enc(i):
+            i = int(i)
+            if i < 10:
+                paras = [
+                    f"Doc {i} para {p} of the crawl corpus."
+                    for p in range(1 + i % 3)
+                ]
+                return build_docx(paras, compress=(i % 2 == 0))
+            if i == 10:
+                return build_docx(["<tag> & \"amp\" doc 10."])
+            if i == 11:
+                return build_docx(["Field body."], with_field=True)
+            if i == 12:
+                return (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+                        + b"\x00" * 56)
+            return build_docx(["gone"])[:40]
+
+        return ids.map(enc)
+
+    docs = spark.range(14).select(
+        F.col("id").alias("doc_id"), _blob(F.col("id")).alias("blob")
+    )
+    # int-cast the flag for the gate: boolean canonicalization differs
+    # between pandas/duckdb dtype paths; 1/0/NULL hashes identically
+    return docx_text(docs).withColumn(
+        "has_fields", F.col("has_fields").cast("int")
+    )
+
+
 def q_image_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: perceptual-hash banded Hamming pairs over the
     binary media column (rows-only; codec stubbed)."""
@@ -1644,7 +1687,6 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "value_percentiles": q_value_percentiles,
         "convalue": q_convalue,
         # sinks / extraction
-        "merge_upsert": q_merge_upsert,
         "extract_ladder": q_extract_ladder,
         "benefits_ladder": q_benefits_ladder,
         # geo categorization
@@ -1664,6 +1706,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "lang_id": q_lang_id,
         "quality_features": q_quality_features,
         "pdf_extract": q_pdf_extract,
+        "docx_extract": q_docx_extract,
         "fingerprint": q_fingerprint,
         "compression_ratio": q_compression_ratio,
         "passage_dedup": q_passage_dedup,
@@ -1676,6 +1719,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "audio_features": q_audio_features,
         # --- slot 51+ (below the driver's 50-row window this round;
         # all green in r03 AND r04, rotating back in next round) ---
+        "merge_upsert": q_merge_upsert,
         "token_counts": q_token_counts,
         "event_props_filter": q_event_props_filter,
         "clean_ratings": q_clean_ratings,
@@ -2572,6 +2616,11 @@ FROM documents WHERE doc_id % 5 <> 4
             _g.golden_pdf_extract(),
             ["doc_id", "n_pages", "text", "has_type0_fonts", "pdf_error"],
             casts={"pdf_error": "VARCHAR"},
+        )
+        sql["docx_extract"] = _g.values_sql(
+            _g.golden_docx_extract(),
+            ["doc_id", "n_paragraphs", "text", "has_fields", "docx_error"],
+            casts={"docx_error": "VARCHAR"},
         )
         sql["ivf_kmeans"] = _g.values_sql(
             _g.golden_ivf_kmeans(_gold_sf), ["centroid_id", "dim", "value"]

@@ -721,3 +721,40 @@ def golden_pdf_extract() -> list[dict]:
         "has_type0_fonts": None, "pdf_error": "ValueError",
     })
     return rows
+
+
+def golden_docx_extract() -> list[dict]:
+    """Twin of q_docx_extract: expected rows stated from the fixture
+    construction constants (paragraph-generation formula, escape
+    string, field/seam/corrupt ids) — the engine's DOCX extractor is
+    never run."""
+    rows = []
+    for i in range(10):
+        paras = [
+            f"Doc {i} para {p} of the crawl corpus."
+            for p in range(1 + i % 3)
+        ]
+        rows.append({
+            "doc_id": i, "n_paragraphs": 1 + i % 3,
+            "text": "\n".join(paras), "has_fields": 0,
+            "docx_error": None,
+        })
+    rows.append({
+        "doc_id": 10, "n_paragraphs": 1,
+        "text": '<tag> & "amp" doc 10.', "has_fields": 0,
+        "docx_error": None,
+    })
+    rows.append({
+        # the PAGE field's cached result '1' is its own paragraph
+        "doc_id": 11, "n_paragraphs": 2, "text": "Field body.\n1",
+        "has_fields": 1, "docx_error": None,
+    })
+    rows.append({
+        "doc_id": 12, "n_paragraphs": None, "text": None,
+        "has_fields": None, "docx_error": "NotImplementedError",
+    })
+    rows.append({
+        "doc_id": 13, "n_paragraphs": None, "text": None,
+        "has_fields": None, "docx_error": "ValueError",
+    })
+    return rows

@@ -625,3 +625,52 @@ def pdf_text(docs: DataFrame) -> DataFrame:
             yield _rows_to_pdf(rows, PDF_TEXT)
 
     return docs.select("doc_id", "blob").mapInPandas(_batches, schema=PDF_TEXT)
+
+
+DOCX_TEXT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_paragraphs", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("has_fields", T.BooleanType(), True),
+        T.StructField("docx_error", T.StringType(), True),
+    ]
+)
+
+
+def docx_text(docs: DataFrame) -> DataFrame:
+    """Extract paragraph text from binary DOCX blobs via mapInPandas
+    (``functions/docx.py`` — stdlib zipfile + WordprocessingML walk).
+    C7 error isolation: malformed packages become
+    ``docx_error='ValueError'`` rows; OLE2 containers (legacy .doc,
+    encrypted OOXML) become ``docx_error='NotImplementedError'`` rows
+    (the antiword/msoffcrypto seam) — never task failures.
+    ``has_fields=True`` flags cached field results (page numbers, TOC)
+    whose text may be stale — the declared-metadata honesty pattern.
+
+    Scale shape: each document parses entirely inside its executor
+    task — zero exchanges; repartition upstream by blob size so a
+    partition's documents fit executor memory."""
+    from ..functions.docx import extract_docx_text
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in it:
+            rows = []
+            for did, blob in zip(pdf_batch["doc_id"], pdf_batch["blob"]):
+                row = {"doc_id": did, "n_paragraphs": None, "text": None,
+                       "has_fields": None, "docx_error": None}
+                try:
+                    if blob is None:
+                        raise ValueError("null blob")
+                    r = extract_docx_text(bytes(blob))
+                    row.update(
+                        n_paragraphs=r["n_paragraphs"],
+                        text=r["text"],
+                        has_fields=r["has_fields"],
+                    )
+                except (ValueError, NotImplementedError) as e:
+                    row["docx_error"] = type(e).__name__
+                rows.append(row)
+            yield _rows_to_pdf(rows, DOCX_TEXT)
+
+    return docs.select("doc_id", "blob").mapInPandas(_batches, schema=DOCX_TEXT)
