@@ -63,18 +63,22 @@ def test_tabs_breaks_and_tables():
     assert r["n_paragraphs"] == 4
 
 
-def _repack(document_xml: str) -> bytes:
+def _repack_bytes(document_xml: bytes) -> bytes:
     """Swap a custom word/document.xml into a built package."""
     base = build_docx(["placeholder"])
     buf = io.BytesIO()
     with zipfile.ZipFile(io.BytesIO(base)) as src, \
             zipfile.ZipFile(buf, "w") as dst:
         for item in src.infolist():
-            data = (document_xml.encode()
+            data = (document_xml
                     if item.filename == "word/document.xml"
                     else src.read(item))
             dst.writestr(item, data)
     return buf.getvalue()
+
+
+def _repack(document_xml: str) -> bytes:
+    return _repack_bytes(document_xml.encode())
 
 
 def test_field_codes_flagged_approximate():
@@ -105,26 +109,109 @@ def test_dtd_refused():
         extract_docx_text(_repack(doc))
 
 
-def test_size_cap_refused_before_inflate():
+def test_dtd_refused_past_prefix_and_in_utf16():
+    """Parser-level refusal: comment padding cannot push the DOCTYPE
+    past a byte-prefix window, and a UTF-16 document.xml can't hide it
+    behind the encoding."""
+    padded = ('<?xml version="1.0"?><!--' + "x" * 5000 + "-->"
+              '<!DOCTYPE lol [<!ENTITY a "BOOM">]>'
+              '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+              'wordprocessingml/2006/main"><w:body><w:p><w:r><w:t>&a;'
+              "</w:t></w:r></w:p></w:body></w:document>")
+    with pytest.raises(ValueError, match="DTD"):
+        extract_docx_text(_repack(padded))
+    u16 = ('<?xml version="1.0" encoding="utf-16"?>'
+           '<!DOCTYPE l [<!ENTITY a "B">]>'
+           '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+           'wordprocessingml/2006/main"><w:body/></w:document>')
+    with pytest.raises(ValueError, match="DTD"):
+        extract_docx_text(_repack_bytes(u16.encode("utf-16")))
+
+
+def test_doctype_in_comment_is_not_refused():
+    doc = ('<!-- generator note: no <!DOCTYPE used -->'
+           '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+           'wordprocessingml/2006/main"><w:body><w:p><w:r><w:t>fine'
+           "</w:t></w:r></w:p></w:body></w:document>")
+    assert extract_docx_text(_repack(doc))["text"] == "fine"
+
+
+def test_encrypted_zip_member_is_seam_row_not_task_failure():
+    """ZipCrypto flag bit on word/document.xml routes to the
+    decryption seam (NotImplementedError), never an uncaught
+    RuntimeError killing the Spark task."""
+    blob = bytearray(build_docx(["secret"]))
+    # set general-purpose flag bit 0 on every local + central header
+    for magic, off in ((b"PK\x03\x04", 6), (b"PK\x01\x02", 8)):
+        i = 0
+        while True:
+            i = blob.find(magic, i)
+            if i < 0:
+                break
+            blob[i + off] |= 0x01
+            i += 4
+    with pytest.raises(NotImplementedError):
+        extract_docx_text(bytes(blob))
+
+
+def test_textbox_paragraph_extracts_once():
+    """A w:p nested in another w:p (textbox/shape) appears once, at
+    its own position — never inlined into the outer paragraph too."""
+    doc = ('<?xml version="1.0"?>'
+           '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+           'wordprocessingml/2006/main"><w:body>'
+           "<w:p><w:r><w:t>outer</w:t></w:r>"
+           "<w:pict><w:txbxContent><w:p><w:r><w:t>inner</w:t></w:r>"
+           "</w:p></w:txbxContent></w:pict>"
+           "<w:r><w:t>-after</w:t></w:r></w:p>"
+           "</w:body></w:document>")
+    r = extract_docx_text(_repack(doc))
+    assert r["text"] == "outer-after\ninner"
+    assert r["n_paragraphs"] == 2
+
+
+def test_alternate_content_extracts_fallback_once():
+    """mc:AlternateContent duplicates content across Choice and
+    Fallback; only the Fallback branch contributes text."""
+    doc = ('<?xml version="1.0"?>'
+           '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+           'wordprocessingml/2006/main" '
+           'xmlns:mc="http://schemas.openxmlformats.org/'
+           'markup-compatibility/2006"><w:body>'
+           "<mc:AlternateContent>"
+           "<mc:Choice><w:p><w:r><w:t>fancy</w:t></w:r></w:p>"
+           "</mc:Choice>"
+           "<mc:Fallback><w:p><w:r><w:t>plain</w:t></w:r></w:p>"
+           "</mc:Fallback>"
+           "</mc:AlternateContent>"
+           "</w:body></w:document>")
+    r = extract_docx_text(_repack(doc))
+    assert r["text"] == "plain"
+    assert r["n_paragraphs"] == 1
+    # the same shape nested INSIDE a paragraph (the common Word form)
+    doc2 = ('<?xml version="1.0"?>'
+            '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+            'wordprocessingml/2006/main" '
+            'xmlns:mc="http://schemas.openxmlformats.org/'
+            'markup-compatibility/2006"><w:body>'
+            "<w:p><w:r><w:t>pre </w:t></w:r>"
+            "<mc:AlternateContent>"
+            "<mc:Choice><w:r><w:t>fancy</w:t></w:r></mc:Choice>"
+            "<mc:Fallback><w:r><w:t>plain</w:t></w:r></mc:Fallback>"
+            "</mc:AlternateContent></w:p>"
+            "</w:body></w:document>")
+    assert extract_docx_text(_repack(doc2))["text"] == "pre plain"
+
+
+def test_size_cap_refused_before_inflate(monkeypatch):
     """A member whose DECLARED size exceeds the cap is refused without
     reading its (potentially bomb) payload."""
-    doc = "x" * 100
-    blob = bytearray(_repack(
-        '<?xml version="1.0"?><w:document xmlns:w="http://schemas.'
-        'openxmlformats.org/wordprocessingml/2006/main"><w:body>'
-        "<w:p><w:r><w:t>" + doc + "</w:t></w:r></w:p>"
-        "</w:body></w:document>"))
-    # forging the central-directory size upward triggers either the cap
-    # (ValueError) or zipfile's own consistency error (wrapped) — both
-    # are the C7 contract
-    with pytest.raises(ValueError):
-        from webscraper_spark.functions import docx as m
-        old = m.MAX_XML_BYTES
-        try:
-            m.MAX_XML_BYTES = 10
-            extract_docx_text(bytes(blob))
-        finally:
-            m.MAX_XML_BYTES = old
+    from webscraper_spark.functions import docx as m
+
+    blob = build_docx(["x" * 100])
+    monkeypatch.setattr(m, "MAX_XML_BYTES", 10)
+    with pytest.raises(ValueError, match="size cap"):
+        extract_docx_text(blob)
 
 
 def test_sniff():

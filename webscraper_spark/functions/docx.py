@@ -8,13 +8,18 @@ Office libraries at all:
 
 - the package opens with :mod:`zipfile` (the stored/deflate methods the
   OPC spec allows are both stdlib);
-- ``word/document.xml`` parses with :mod:`xml.etree` (DTDs are refused
-  first — OOXML never declares one, and refusing closes the
-  entity-expansion bomb class regardless of the linked expat version);
+- ``word/document.xml`` parses with :mod:`xml.etree` after a
+  parser-level DOCTYPE refusal (an expat prolog scan — OOXML never
+  declares a DTD, and refusing one at the parser closes the
+  entity-expansion bomb class in every encoding, with no false
+  positive on '<!DOCTYPE' inside a comment);
 - paragraph text concatenates ``w:t`` runs in document order with
   ``w:tab``/``w:br``/``w:cr`` rendered as tab/newline; paragraphs join
   with a newline (tables contribute their cell paragraphs in document
-  order, matching how Word's own "Save as text" linearizes them).
+  order, matching how Word's own "Save as text" linearizes them);
+  textbox/shape paragraphs nested inside a paragraph extract once, at
+  their own position, and ``mc:AlternateContent`` contributes only its
+  Fallback branch (Choice+Fallback carry duplicate renderings).
 
 Honesty contract: literal run text extracts exactly — the fixture
 builder emits plain runs and the goldens assert byte-equal text. Field
@@ -45,6 +50,8 @@ import struct
 import zipfile
 import zlib
 from xml.etree import ElementTree
+from xml.parsers import expat as _expat
+from xml.sax.saxutils import escape as _xml_escape
 
 __all__ = ["is_docx", "extract_docx_text", "build_docx"]
 
@@ -55,6 +62,75 @@ OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 MAX_XML_BYTES = 1 << 26  # 64 MiB of XML is ~a 10k-page document
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_MC = "{http://schemas.openxmlformats.org/markup-compatibility/2006}"
+
+
+class _RootSeen(Exception):
+    pass
+
+
+def _refuse_dtd(xml: bytes) -> None:
+    """Parser-level DOCTYPE refusal: an expat pass whose handlers abort
+    at the first start element (a DOCTYPE must precede the root, so
+    this reads only the prolog — O(prolog bytes), not O(document)).
+    Catches encodings and comment padding a byte scan would miss, and
+    never false-positives on '<!DOCTYPE' inside a comment/CDATA."""
+    p = _expat.ParserCreate()
+
+    def _doctype(*_a):
+        raise ValueError("DTD in document.xml refused (OOXML has none)")
+
+    def _start(*_a):
+        raise _RootSeen()
+
+    p.StartDoctypeDeclHandler = _doctype
+    p.StartElementHandler = _start
+    try:
+        p.Parse(xml, True)
+    except _RootSeen:
+        return
+    except _expat.ExpatError:
+        return  # malformed: ElementTree reports the real parse error
+
+
+def _mc_children(el) -> list:
+    """``mc:AlternateContent`` duplicates its content across one or
+    more ``mc:Choice`` branches and an ``mc:Fallback``; extract the
+    Fallback (the down-level form every consumer can render) once."""
+    chosen = el.find(_MC + "Fallback")
+    if chosen is None:
+        chosen = next(iter(el), None)
+    return list(chosen) if chosen is not None else []
+
+
+def _paragraph(p) -> tuple[list, bool, list]:
+    """One ``w:p`` → ``(text_parts, has_fields, nested_paragraphs)``.
+    Nested ``w:p`` (textbox/shape content) are returned for extraction
+    at their own position, never inlined — a subtree ``iter()`` would
+    emit their text twice."""
+    parts: list[str] = []
+    has_fields = False
+    nested: list = []
+    stack = list(reversed(list(p)))
+    while stack:
+        el = stack.pop()
+        tag = el.tag
+        if tag == _W + "p":
+            nested.append(el)
+            continue
+        if tag == _W + "t":
+            parts.append(el.text or "")
+        elif tag == _W + "tab":
+            parts.append("\t")
+        elif tag == _W + "br" or tag == _W + "cr":
+            parts.append("\n")
+        elif tag == _MC + "AlternateContent":
+            stack.extend(reversed(_mc_children(el)))
+        else:
+            if tag == _W + "fldSimple" or tag == _W + "instrText":
+                has_fields = True
+            stack.extend(reversed(list(el)))
+    return parts, has_fields, nested
 
 
 def is_docx(blob: bytes) -> bool:
@@ -88,20 +164,32 @@ def extract_docx_text(blob: bytes) -> dict:
             raise ValueError(
                 "no word/document.xml (ZIP but not WordprocessingML)"
             ) from None
+        if info.flag_bits & 0x1:
+            # ZipCrypto/AES-protected member: zipfile would raise
+            # RuntimeError('password required') mid-read — route it to
+            # the same seam as encrypted OOXML instead
+            raise NotImplementedError(
+                "password-protected ZIP member — decryption seam"
+            )
         if info.file_size > MAX_XML_BYTES:
             raise ValueError("document.xml exceeds size cap")
         # zipfile truncates the read at the declared file_size, so the
         # cap above bounds memory even against a lying deflate stream
         xml = zf.read(info)
-    except (zipfile.BadZipFile, NotImplementedError, zlib.error,
-            struct.error, EOFError, OverflowError) as e:
-        # zipfile raises NotImplementedError for unsupported compression
-        # methods (corruption here, not a codec seam) and leaks
-        # zlib/struct errors for corrupt deflate payloads and headers —
-        # all of it is the same malformed-package case (C7)
+    except NotImplementedError as e:
+        # ours (the decryption seam) propagates; zipfile's own (an
+        # unsupported compression method) is corruption here. Must be
+        # checked BEFORE RuntimeError: NotImplementedError subclasses it
+        if "seam" in str(e):
+            raise
         raise ValueError(f"bad ZIP package: {type(e).__name__}") from e
-    if b"<!DOCTYPE" in xml[:4096]:
-        raise ValueError("DTD in document.xml refused (OOXML has none)")
+    except (zipfile.BadZipFile, zlib.error, struct.error, EOFError,
+            OverflowError, RuntimeError) as e:
+        # zipfile leaks zlib/struct errors for corrupt deflate payloads
+        # and headers, and RuntimeError for encryption shapes the flag
+        # check above didn't cover — all malformed here (C7)
+        raise ValueError(f"bad ZIP package: {type(e).__name__}") from e
+    _refuse_dtd(xml)
     try:
         root = ElementTree.fromstring(xml)
     except ElementTree.ParseError as e:
@@ -109,19 +197,19 @@ def extract_docx_text(blob: bytes) -> dict:
 
     paragraphs: list[str] = []
     has_fields = False
-    for p in root.iter(_W + "p"):
-        parts: list[str] = []
-        for el in p.iter():
-            tag = el.tag
-            if tag == _W + "t":
-                parts.append(el.text or "")
-            elif tag in (_W + "tab",):
-                parts.append("\t")
-            elif tag in (_W + "br", _W + "cr"):
-                parts.append("\n")
-            elif tag in (_W + "fldSimple", _W + "instrText"):
-                has_fields = True
-        paragraphs.append("".join(parts))
+    stack = [root]
+    while stack:
+        el = stack.pop()
+        tag = el.tag
+        if tag == _W + "p":
+            parts, hf, nested = _paragraph(el)
+            paragraphs.append("".join(parts))
+            has_fields = has_fields or hf
+            stack.extend(reversed(nested))
+        elif tag == _MC + "AlternateContent":
+            stack.extend(reversed(_mc_children(el)))
+        else:
+            stack.extend(reversed(list(el)))
     return {
         "n_paragraphs": len(paragraphs),
         "text": "\n".join(paragraphs),
@@ -152,11 +240,6 @@ _RELS = (
     'Target="word/document.xml"/>'
     "</Relationships>"
 )
-
-
-def _xml_escape(s: str) -> str:
-    return (s.replace("&", "&amp;").replace("<", "&lt;")
-             .replace(">", "&gt;"))
 
 
 def build_docx(paragraphs: list[str], compress: bool = True,
