@@ -1500,6 +1500,83 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     return files
 
 
+def q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed source (`ws/sources/feeds.py`): synthesizes a 5-file
+    fixture from doc_ids — two RSS 2.0 feeds (one gzipped), two Atom
+    feeds (one with CDATA titles), and one non-feed document (C7 error
+    row, dropped by the frontier mapping) — and runs the real
+    mapInPandas parse → frontier-seed pipeline. RFC 822 and ISO 8601
+    timestamps normalize to the same UTC instants, so the oracle states
+    the synthesis rule in SQL. Fixture synthesis is cached per sf_dir
+    (not part of the measured operator)."""
+    from webscraper_spark.sources.feeds import feeds_to_frontier
+
+    _utc(spark)
+    files = _feed_fixture_files(spark, sf_dir)
+    fdf = spark.createDataFrame(files, "path string, content binary")
+    out = feeds_to_frontier(fdf)
+    return out.select("url", "host", "title", "published_ts")
+
+
+def _feed_fixture_files(spark: SparkSession, sf_dir: str) -> list:
+    """Deterministic 5-file feed fixture (2×RSS + 2×Atom + 1 non-feed)
+    from the documents table's doc_ids; cached per sf_dir so bench
+    repeats time only the parse pipeline."""
+    hit = _fixture_cached("feeds", sf_dir)
+    if hit is not None:
+        return hit
+    import gzip as _gzip
+
+    ids = sorted(
+        r.doc_id for r in _read(spark, sf_dir, "documents").select("doc_id").collect()
+    )
+
+    def rss_item(i: int) -> str:
+        day = (i % 27) + 1
+        return (
+            f"<item><title>Post {i} &amp; more</title>"
+            f"<link>https://f{i % 4}.example/post/{i}</link>"
+            f"<pubDate>{day:02d} Jul 2025 00:00:00 +0000</pubDate>"
+            f"<guid>https://f{i % 4}.example/post/{i}</guid></item>"
+        )
+
+    def atom_entry(i: int) -> str:
+        day = (i % 27) + 1
+        title = (f"<title><![CDATA[Post {i} & more]]></title>"
+                 if i % 4 == 3 else f"<title>Post {i} &amp; more</title>")
+        return (
+            f"<entry>{title}"
+            f'<link rel="alternate" '
+            f'href="https://f{i % 4}.example/post/{i}"/>'
+            f"<published>2025-07-{day:02d}T00:00:00Z</published>"
+            f"<id>https://f{i % 4}.example/post/{i}</id></entry>"
+        )
+
+    groups: dict[int, list[str]] = {g: [] for g in range(4)}
+    for i in ids:
+        if i % 7 != 6:  # some pages are simply not syndicated
+            g = i % 4
+            groups[g].append(rss_item(i) if g < 2 else atom_entry(i))
+    files = []
+    for g, entries in groups.items():
+        if g < 2:
+            xml = ('<?xml version="1.0"?><rss version="2.0"><channel>'
+                   + "".join(entries) + "</channel></rss>").encode()
+        else:
+            xml = ('<?xml version="1.0"?>'
+                   '<feed xmlns="http://www.w3.org/2005/Atom">'
+                   + "".join(entries) + "</feed>").encode()
+        path = f"https://hub.example/feed_{g}.xml"
+        if g == 1:
+            xml = _gzip.compress(xml)
+            path += ".gz"
+        files.append((path, xml))
+    files.append(("https://hub.example/not_a_feed.html",
+                  b"<html><body>plain page</body></html>"))
+    _FIXTURE_CACHE["feeds"] = (sf_dir, files)
+    return files
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction over binary blobs: ids 0-9 REAL multi-page
     PDFs (classic xref, alternating Flate/uncompressed content streams)
@@ -1667,6 +1744,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "host_stats": q_host_stats,
         "link_rank": q_link_rank,
         "sitemap_ingest": q_sitemap_ingest,
+        "feed_ingest": q_feed_ingest,
         "warc_ingest": q_warc_ingest,
         # relational core
         "pricing_summary": q_pricing_summary,
@@ -1676,7 +1754,6 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "matched_companies": q_matched_companies,
         # event analytics
         "latest_event_per_user": q_latest_event_per_user,
-        "running_avg": q_running_avg,
         "event_histogram": q_event_histogram,
         "sessionize": q_sessionize,
         # rotated back into the window this round (last driver rows: r03)
@@ -1720,6 +1797,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         # --- slot 51+ (below the driver's 50-row window this round;
         # all green in r03 AND r04, rotating back in next round) ---
         "merge_upsert": q_merge_upsert,
+        "running_avg": q_running_avg,
         "token_counts": q_token_counts,
         "event_props_filter": q_event_props_filter,
         "clean_ratings": q_clean_ratings,
@@ -2558,6 +2636,14 @@ SELECT 'https://s' || (doc_id % 9) || '.example/p/' || doc_id || '?a=1&b=2' AS u
              ELSE 2 END)::BIGINT AS priority,
        TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 27) * INTERVAL 1 DAY AS lastmod_ts
 FROM documents WHERE doc_id % 11 <> 10
+"""
+
+    sql["feed_ingest"] = """
+SELECT 'https://f' || (doc_id % 4) || '.example/post/' || doc_id AS url,
+       'f' || (doc_id % 4) || '.example' AS host,
+       'Post ' || doc_id || ' & more' AS title,
+       TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 27) * INTERVAL 1 DAY AS published_ts
+FROM documents WHERE doc_id % 7 <> 6
 """
 
     sql["warc_ingest"] = """

@@ -55,6 +55,10 @@ def test_entries_gzip_and_error_isolation(spark):
         ("https://hub.example/s1.xml", URLSET.encode()),
         ("https://hub.example/s2.xml.gz", gzip.compress(URLSET.encode())),
         ("https://hub.example/broken.gz", b"\x1f\x8bnot really gzip"),
+        # truncated gzip raises EOFError, not BadGzipFile — must still
+        # be an error row, never a task failure
+        ("https://hub.example/cut.gz",
+         gzip.compress(URLSET.encode())[:20]),
         ("https://hub.example/idx.xml", INDEX.encode()),
     ]
     fdf = spark.createDataFrame(files, "path string, content binary")
@@ -68,6 +72,8 @@ def test_entries_gzip_and_error_isolation(spark):
     )
     [err] = by_path["https://hub.example/broken.gz"]
     assert err["kind"] == "error" and err["error"] == "BadGzipFile"
+    [cut] = by_path["https://hub.example/cut.gz"]
+    assert cut["kind"] == "error" and cut["error"] == "EOFError"
     assert {r["kind"] for r in by_path["https://hub.example/idx.xml"]} == {"sitemap"}
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import gzip
 import re
+import zlib
 from collections.abc import Iterator
 from html import unescape
 
@@ -122,7 +123,10 @@ def sitemap_entries(files: DataFrame, path_col: str = "path",
                 }
                 try:
                     entries = parse_sitemap(_decode_blob(blob))
-                except (ValueError, OSError, gzip.BadGzipFile) as e:
+                except (ValueError, OSError, EOFError, zlib.error) as e:
+                    # gzip leaks EOFError for truncated members and
+                    # zlib.error for corrupt deflate payloads
+                    # (BadGzipFile is an OSError)
                     rows.append({**base, "kind": "error",
                                  "error": type(e).__name__})
                     continue
