@@ -1730,10 +1730,14 @@ def cert_oracle_sql() -> dict[str, str]:
 #   r04 window: all production queries incl. the 9 never-recorded ones;
 #       tail = region_rollup, rollup_revenue, distinct_event_types,
 #              event_type_counts, value_percentiles, convalue (r02+r03)
-#   r05 window: the six r03-tail queries rotate back IN; six r03+r04
-#       double-green scalar/join queries (clean_ratings, url_kernels,
-#       scalar_misc, fk_dereference, tag_theta_join, event_props_filter)
-#       rotate OUT to the tail.
+#   r05 window: the six r03-tail queries rotate back IN; NINE r03+r04
+#       double-green queries rotate OUT to the tail — six scalar/join
+#       ones (clean_ratings, url_kernels, scalar_misc, fk_dereference,
+#       tag_theta_join, event_props_filter) plus three displaced by the
+#       new gate queries added this round (token_counts→pdf_extract,
+#       merge_upsert→docx_extract, running_avg→feed_ingest). All nine
+#       must rotate back IN for r06; the three new queries get their
+#       first driver rows this round and can then take tail turns.
 _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         # crawl engine + sources
         "politeness_schedule": q_politeness_schedule,

@@ -81,6 +81,16 @@ def test_norm_ts_contract():
 def test_not_a_feed_raises():
     with pytest.raises(ValueError, match="not a recognized feed"):
         parse_feed("<html><body>page</body></html>")
+    # the sniff matches real tags, not substrings: a page mentioning
+    # <feedback> or a channel-list div must be the error row, not a
+    # silently empty Atom/RSS parse
+    with pytest.raises(ValueError, match="not a recognized feed"):
+        parse_feed("<html><feedback>leave a note</feedback></html>")
+    with pytest.raises(ValueError, match="not a recognized feed"):
+        parse_feed("<html><channels>tv listing</channels></html>")
+    # a genuine feed with zero entries is valid: zero rows, no error
+    assert parse_feed('<feed xmlns="http://www.w3.org/2005/Atom"></feed>') == []
+    assert parse_feed('<rss version="2.0"><channel></channel></rss>') == []
 
 
 def test_feed_entries_and_frontier(spark):
@@ -105,8 +115,7 @@ def test_feed_entries_and_frontier(spark):
     assert len(by_type["rss"]) == 2 and len(by_type["atom"]) == 2
     # two malformed entries + one non-feed file + one bad gzip
     assert len(by_type["error"]) == 4
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    frontier = feeds_to_frontier(files).collect()
+    frontier = feeds_to_frontier(files).collect()  # session tz is UTC
     assert sorted(r["url"] for r in frontier) == [
         "https://a.example/post/1", "https://a.example/post/2",
         "https://b.example/entry/1", "https://b.example/entry/2",

@@ -27,18 +27,16 @@ task failure.
 
 from __future__ import annotations
 
-import gzip
 import re
-import zlib
-from collections.abc import Iterator
 from datetime import datetime, timezone
 from email.utils import parsedate_to_datetime
 from html import unescape
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .textblobs import explode_blob_entries
 
 _ITEM_RE = re.compile(r"<item\b[^>]*>(.*?)</item>", re.DOTALL | re.IGNORECASE)
 _ENTRY_RE = re.compile(r"<entry\b[^>]*>(.*?)</entry>",
@@ -73,15 +71,6 @@ FEED_ENTRIES = T.StructType(
         T.StructField("error", T.StringType(), True),
     ]
 )
-
-
-def _decode_blob(blob) -> str:
-    if blob is None:
-        raise ValueError("null blob")
-    b = bytes(blob)
-    if b[:2] == b"\x1f\x8b":
-        b = gzip.decompress(b)
-    return b.decode("utf-8", errors="replace")
 
 
 def _text(rx: re.Pattern, block: str) -> "str | None":
@@ -130,13 +119,20 @@ def _atom_href(block: str) -> "str | None":
     return fallback
 
 
+_ATOM_SNIFF = re.compile(r"<feed[\s>]", re.IGNORECASE)
+_RSS_SNIFF = re.compile(r"<(?:rss|channel)[\s>]", re.IGNORECASE)
+
+
 def parse_feed(text: str) -> list[dict]:
     """Parse one feed document → entry dicts with ``feed_type`` set.
     An entry without a resolvable link is a malformed entry (error
-    row); a document that is neither RSS nor Atom raises ValueError."""
-    head = text[:2048].lower()
+    row); a document that is neither RSS nor Atom raises ValueError
+    (the sniff matches real ``<feed>``/``<rss>``/``<channel>`` tags —
+    an HTML page mentioning ``<feedback>`` doesn't pass). A genuine
+    feed with zero entries yields zero rows: an empty feed is valid."""
+    head = text[:2048]
     out: list[dict] = []
-    if "<feed" in head:
+    if _ATOM_SNIFF.search(head):
         for block in _ENTRY_RE.findall(text):
             url = _atom_href(block)
             if url is None:
@@ -152,7 +148,7 @@ def parse_feed(text: str) -> list[dict]:
                 "guid": _text(_ID_RE, block),
             })
         return out
-    if "<rss" in head or "<channel" in head:
+    if _RSS_SNIFF.search(head):
         for block in _ITEM_RE.findall(text):
             url = _text(_RSS_LINK_RE, block)
             if url is None:
@@ -173,35 +169,12 @@ def parse_feed(text: str) -> list[dict]:
 def feed_entries(files: DataFrame, path_col: str = "path",
                  content_col: str = "content") -> DataFrame:
     """Explode a batch of feed blobs into entry rows (mapInPandas; no
-    shuffle)."""
-
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in FEED_ENTRIES.fields]
-        for pdf in it:
-            rows = []
-            for path, blob in zip(pdf[path_col], pdf[content_col]):
-                base = {
-                    "feed_path": path, "feed_type": None, "url": None,
-                    "title": None, "published": None,
-                    "published_norm": None, "guid": None, "error": None,
-                }
-                try:
-                    entries = parse_feed(_decode_blob(blob))
-                except (ValueError, OSError, EOFError, zlib.error) as e:
-                    # gzip leaks EOFError for truncated members and
-                    # zlib.error for corrupt deflate payloads
-                    # (BadGzipFile is an OSError)
-                    rows.append({**base, "feed_type": "error",
-                                 "error": type(e).__name__})
-                    continue
-                for e in entries:
-                    rows.append({**base, **e})
-            yield pd.DataFrame(rows, columns=cols)
-
-    return files.select(
-        F.col(path_col).alias(path_col),
-        F.col(content_col).alias(content_col),
-    ).mapInPandas(_batches, schema=FEED_ENTRIES)
+    shuffle; shared scaffold in ``textblobs.py``)."""
+    return explode_blob_entries(
+        files, parse_feed, FEED_ENTRIES,
+        path_field="feed_path", kind_field="feed_type",
+        path_col=path_col, content_col=content_col,
+    )
 
 
 def feeds_to_frontier(

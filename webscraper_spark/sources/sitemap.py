@@ -22,16 +22,14 @@ yields error rows, not task failures.
 
 from __future__ import annotations
 
-import gzip
 import re
-import zlib
-from collections.abc import Iterator
 from html import unescape
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .textblobs import explode_blob_entries
 
 _URL_BLOCK_RE = re.compile(r"<url\b[^>]*>(.*?)</url>", re.DOTALL | re.IGNORECASE)
 _SITEMAP_BLOCK_RE = re.compile(
@@ -55,15 +53,6 @@ SITEMAP_ENTRIES = T.StructType(
         T.StructField("error", T.StringType(), True),
     ]
 )
-
-
-def _decode_blob(blob) -> str:
-    if blob is None:
-        raise ValueError("null blob")
-    b = bytes(blob)
-    if b[:2] == b"\x1f\x8b":  # sitemap spec allows gzip
-        b = gzip.decompress(b)
-    return b.decode("utf-8", errors="replace")
 
 
 def parse_sitemap(text: str) -> list[dict]:
@@ -109,34 +98,13 @@ def parse_sitemap(text: str) -> list[dict]:
 def sitemap_entries(files: DataFrame, path_col: str = "path",
                     content_col: str = "content") -> DataFrame:
     """Explode a batch of sitemap blobs into entry rows (mapInPandas;
-    no shuffle)."""
-
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in SITEMAP_ENTRIES.fields]
-        for pdf in it:
-            rows = []
-            for path, blob in zip(pdf[path_col], pdf[content_col]):
-                base = {
-                    "sitemap_path": path, "kind": None, "loc": None,
-                    "lastmod": None, "changefreq": None, "priority": None,
-                    "error": None,
-                }
-                try:
-                    entries = parse_sitemap(_decode_blob(blob))
-                except (ValueError, OSError, EOFError, zlib.error) as e:
-                    # gzip leaks EOFError for truncated members and
-                    # zlib.error for corrupt deflate payloads
-                    # (BadGzipFile is an OSError)
-                    rows.append({**base, "kind": "error",
-                                 "error": type(e).__name__})
-                    continue
-                for e in entries:
-                    rows.append({**base, **e})
-            yield pd.DataFrame(rows, columns=cols)
-
-    return files.select(
-        F.col(path_col).alias(path_col), F.col(content_col).alias(content_col)
-    ).mapInPandas(_batches, schema=SITEMAP_ENTRIES)
+    no shuffle; shared scaffold in ``textblobs.py`` — the sitemaps.org
+    gzip allowance is handled there)."""
+    return explode_blob_entries(
+        files, parse_sitemap, SITEMAP_ENTRIES,
+        path_field="sitemap_path", kind_field="kind",
+        path_col=path_col, content_col=content_col,
+    )
 
 
 def sitemap_to_frontier(
