@@ -1500,6 +1500,56 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     return files
 
 
+def q_recrawl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling (`ws/operators/recrawl.py`): a derived corpus
+    (fetch_ts by doc_id) joined against discovery freshness signals
+    (two signal generations per some urls, exercising the max-agg) at a
+    fixed evaluation instant. Candidates = newer-signal pages (priority
+    by recency-gap doubling buckets) + signal-less pages older than 30
+    days; pages whose signal says the copy is current are absent — the
+    fetch-budget saving the operator exists for."""
+    from webscraper_spark.operators.recrawl import recrawl_candidates
+
+    _utc(spark)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://r"), _s(F.col("doc_id") % 6),
+        F.lit(".example/page/"), _s(F.col("doc_id")),
+    )
+    corpus = d.select(
+        url.alias("url"),
+        F.to_timestamp(
+            F.lit("2025-07-01")
+        ).cast("timestamp").alias("_base"),
+        (F.col("doc_id") % 20).alias("_off"),
+    ).select(
+        "url",
+        F.timestamp_add("DAY", F.col("_off"), F.col("_base")).alias("fetch_ts"),
+    )
+    sig_new = d.filter(F.col("doc_id") % 3 != 2).select(
+        url.alias("url"),
+        F.timestamp_add(
+            "DAY", (F.col("doc_id") % 27),
+            F.to_timestamp(F.lit("2025-07-01")),
+        ).alias("signal_ts"),
+    )
+    sig_old = d.filter(F.col("doc_id") % 6 == 0).select(
+        url.alias("url"),
+        F.timestamp_add(
+            "DAY", (F.col("doc_id") % 5),
+            F.to_timestamp(F.lit("2025-07-01")),
+        ).alias("signal_ts"),
+    )
+    out = recrawl_candidates(
+        corpus, sig_new.unionAll(sig_old),
+        now_ts="2025-08-15 00:00:00", max_age_days=30.0,
+    )
+    return out.select(
+        "url", "host", "fetch_ts", "signal_ts", "reason",
+        "staleness_days", F.col("priority").cast("long").alias("priority"),
+    )
+
+
 def q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feed source (`ws/sources/feeds.py`): synthesizes a 5-file
     fixture from doc_ids — two RSS 2.0 feeds (one gzipped), two Atom
@@ -1730,14 +1780,16 @@ def cert_oracle_sql() -> dict[str, str]:
 #   r04 window: all production queries incl. the 9 never-recorded ones;
 #       tail = region_rollup, rollup_revenue, distinct_event_types,
 #              event_type_counts, value_percentiles, convalue (r02+r03)
-#   r05 window: the six r03-tail queries rotate back IN; NINE r03+r04
+#   r05 window: the six r03-tail queries rotate back IN; TEN r03+r04
 #       double-green queries rotate OUT to the tail — six scalar/join
 #       ones (clean_ratings, url_kernels, scalar_misc, fk_dereference,
-#       tag_theta_join, event_props_filter) plus three displaced by the
+#       tag_theta_join, event_props_filter) plus four displaced by the
 #       new gate queries added this round (token_counts→pdf_extract,
-#       merge_upsert→docx_extract, running_avg→feed_ingest). All nine
-#       must rotate back IN for r06; the three new queries get their
-#       first driver rows this round and can then take tail turns.
+#       merge_upsert→docx_extract, running_avg→feed_ingest,
+#       latest_event_per_user→recrawl_candidates) — ten tail entries
+#       total. All ten must rotate back IN for r06; the four new
+#       queries get their first driver rows this round and can then
+#       take tail turns.
 _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         # crawl engine + sources
         "politeness_schedule": q_politeness_schedule,
@@ -1749,6 +1801,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "link_rank": q_link_rank,
         "sitemap_ingest": q_sitemap_ingest,
         "feed_ingest": q_feed_ingest,
+        "recrawl_candidates": q_recrawl_candidates,
         "warc_ingest": q_warc_ingest,
         # relational core
         "pricing_summary": q_pricing_summary,
@@ -1757,7 +1810,6 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "unmatched_companies": q_unmatched_companies,
         "matched_companies": q_matched_companies,
         # event analytics
-        "latest_event_per_user": q_latest_event_per_user,
         "event_histogram": q_event_histogram,
         "sessionize": q_sessionize,
         # rotated back into the window this round (last driver rows: r03)
@@ -1802,6 +1854,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         # all green in r03 AND r04, rotating back in next round) ---
         "merge_upsert": q_merge_upsert,
         "running_avg": q_running_avg,
+        "latest_event_per_user": q_latest_event_per_user,
         "token_counts": q_token_counts,
         "event_props_filter": q_event_props_filter,
         "clean_ratings": q_clean_ratings,
@@ -2640,6 +2693,43 @@ SELECT 'https://s' || (doc_id % 9) || '.example/p/' || doc_id || '?a=1&b=2' AS u
              ELSE 2 END)::BIGINT AS priority,
        TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 27) * INTERVAL 1 DAY AS lastmod_ts
 FROM documents WHERE doc_id % 11 <> 10
+"""
+
+    sql["recrawl_candidates"] = """
+WITH corpus AS (
+  SELECT doc_id,
+         'https://r' || (doc_id % 6) || '.example/page/' || doc_id AS url,
+         TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 20) * INTERVAL 1 DAY AS fetch_ts
+  FROM documents
+), sig AS (
+  SELECT 'https://r' || (doc_id % 6) || '.example/page/' || doc_id AS url,
+         TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 27) * INTERVAL 1 DAY AS signal_ts
+  FROM documents WHERE doc_id % 3 <> 2
+  UNION ALL
+  SELECT 'https://r' || (doc_id % 6) || '.example/page/' || doc_id,
+         TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 5) * INTERVAL 1 DAY
+  FROM documents WHERE doc_id % 6 = 0
+), latest AS (
+  SELECT url, max(signal_ts) AS signal_ts FROM sig GROUP BY url
+), j AS (
+  SELECT c.url, c.doc_id, c.fetch_ts, l.signal_ts,
+         (l.signal_ts IS NOT NULL AND l.signal_ts > c.fetch_ts) AS fresh,
+         date_diff('second', c.fetch_ts, TIMESTAMP '2025-08-15 00:00:00') / 86400.0 AS age_days,
+         date_diff('second', c.fetch_ts, l.signal_ts) / 86400.0 AS gap_days
+  FROM corpus c LEFT JOIN latest l USING (url)
+)
+SELECT url,
+       'r' || (doc_id % 6) || '.example' AS host,
+       fetch_ts, signal_ts,
+       CASE WHEN fresh THEN 'fresh_signal' ELSE 'stale_age' END AS reason,
+       round(CASE WHEN fresh THEN gap_days ELSE age_days - 30.0 END, 4) AS staleness_days,
+       (CASE WHEN NOT fresh THEN 4
+             WHEN gap_days >= 8 THEN 0
+             WHEN gap_days >= 4 THEN 1
+             WHEN gap_days >= 2 THEN 2
+             ELSE 3 END)::BIGINT AS priority
+FROM j
+WHERE fresh OR (signal_ts IS NULL AND age_days > 30.0)
 """
 
     sql["feed_ingest"] = """
