@@ -78,6 +78,20 @@ def test_latest_signal_wins(spark):
     assert row["staleness_days"] == 4.0
 
 
+def test_bad_now_ts_fails_fast(spark):
+    """An unparseable instant must raise, not silently suppress the
+    stale_age tier."""
+    import pytest
+
+    corpus, signals = _dfs(
+        spark,
+        [("https://e.example/w", pd.Timestamp("2025-07-01"))],
+        [],
+    )
+    with pytest.raises(ValueError, match="now_ts"):
+        recrawl_candidates(corpus, signals, now_ts="2025/08/15")
+
+
 def test_null_signals_ignored(spark):
     corpus, signals = _dfs(
         spark,

@@ -18,17 +18,23 @@ corpus and ranks what to re-fetch:
   is still current, so the fetch budget skips it (this is the saving).
 
 Scale shape: signals first collapse to one row per url via a map-side
-combinable ``max(signal_ts)`` groupBy, then ONE equi-join on
-``url_hash`` against the corpus — both sides shuffle on the same key,
-and at 10^10 rows both tables would be bucketed on ``url_hash`` so the
-join co-locates with zero exchange. No window over the full corpus, no
-driver-side state; the priority is a pure per-row expression.
+combinable ``max(signal_ts)`` groupBy, then ONE equi-join against the
+corpus keyed on ``(url_hash, url)`` — the hash leads so at 10^10 rows
+both tables bucket on ``url_hash`` (the engine-wide convention) and
+the join co-locates with zero exchange, while the url equality keeps
+hash collisions from merging distinct pages. No window over the full
+corpus, no driver-side state; the priority is a pure per-row
+expression.
 """
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.canon import host_col
 
 #: seconds per day, for age arithmetic on timestamps
 _DAY = 86400.0
@@ -58,14 +64,24 @@ def recrawl_candidates(
       older than ``max_age_days``; staleness = age beyond the limit
 
     ``priority`` is the scheduler's 0-is-soonest integer: fresh signals
-    land in 0-3 by recency-gap log-buckets, blind revisits start at 4 —
-    change evidence always beats calendar age."""
+    land in 0-3 by recency-gap doubling buckets, blind revisits start
+    at 4 — change evidence always beats calendar age.
+
+    Raises ``ValueError`` on an unparseable ``now_ts``: a silent NULL
+    instant would suppress the whole stale_age tier with zero
+    diagnostics."""
+    try:
+        datetime.fromisoformat(now_ts)
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"now_ts is not ISO 8601: {now_ts!r}") from e
     latest = signals.filter(F.col("signal_ts").isNotNull()).groupBy(
-        "url"
+        F.xxhash64("url").alias("url_hash"), F.col("url")
     ).agg(F.max("signal_ts").alias("signal_ts"))
 
     now = F.to_timestamp(F.lit(now_ts))
-    joined = corpus.select("url", "fetch_ts").join(latest, "url", "left")
+    joined = corpus.select(
+        F.xxhash64("url").alias("url_hash"), "url", "fetch_ts"
+    ).join(latest, ["url_hash", "url"], "left")
 
     age_days = (now.cast("double") - F.col("fetch_ts").cast("double")) / _DAY
     gap_days = (
@@ -83,7 +99,7 @@ def recrawl_candidates(
         joined.filter(fresh | stale)
         .select(
             F.col("url"),
-            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            host_col("url").alias("host"),
             F.col("fetch_ts"),
             F.col("signal_ts"),
             F.when(fresh, F.lit("fresh_signal"))
