@@ -18,6 +18,48 @@ def crawled_store(spark, sdfs, tmp_path):
     return store
 
 
+def test_signal_recrawl_feeds_forced_refetch(spark, sdfs, crawled_store):
+    """E2E composition: discovery freshness signals → ranked candidate
+    selection (signal_recrawl) → run_round(recrawl=...) forced refetch.
+    Signals are derived from the store's own fetched table so the test
+    is corpus-agnostic: three urls get a signal 9 days newer than their
+    fetch (priority-0 candidates), one gets an older signal (current —
+    never selected)."""
+    from webscraper_spark.operators.recrawl import signal_recrawl
+
+    store = crawled_store
+    fetched = store.read_delta("fetched", up_to=2).filter(
+        F.col("fetch_status") == "ok"
+    )
+    corpus = fetched.select(
+        "url", F.to_timestamp(F.lit("2025-07-01")).alias("fetch_ts")
+    ).dropDuplicates(["url"])
+    ordered = corpus.orderBy("url").limit(4).collect()
+    newer = [r.url for r in ordered[:3]]
+    current = ordered[3].url
+    signals = spark.createDataFrame(
+        [(u, "2025-07-10") for u in newer] + [(current, "2025-06-20")],
+        "url string, ts string",
+    ).select("url", F.to_timestamp("ts").alias("signal_ts"))
+
+    cands = signal_recrawl(
+        corpus, signals, now_ts="2025-07-15 00:00:00", limit=10
+    )
+    got = {r.url for r in cands.collect()}
+    assert got == set(newer)  # the current-signal url is not selected
+
+    pages_latest = prepare_pages(sdfs["pages"]).persist()
+    lineage = run_round(store, pages_latest, 3, per_host_budget=4,
+                        recrawl=cands)
+    assert lineage["recrawled"] == 3
+    refetched = {
+        r.url for r in store.read_round("fetched", 3)
+        .filter(F.col("fetch_status") == "ok").select("url").collect()
+    }
+    assert set(newer) <= refetched
+    pages_latest.unpersist()
+
+
 def test_recrawl_refetches_and_preserves_membership(spark, sdfs, crawled_store):
     store = crawled_store
     fetched = store.read_delta("fetched", up_to=2).filter(F.col("fetch_status") == "ok")

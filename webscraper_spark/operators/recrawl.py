@@ -120,3 +120,27 @@ def recrawl_candidates(
             ).otherwise(F.lit(4)).alias("priority"),
         )
     )
+
+
+def signal_recrawl(
+    corpus: DataFrame,
+    signals: DataFrame,
+    now_ts: str,
+    max_age_days: float = 30.0,
+    limit: "int | None" = None,
+) -> DataFrame:
+    """Candidate selection for ``run_round(recrawl=...)``: rank
+    :func:`recrawl_candidates` by ``(priority, staleness desc)`` and
+    take the round's invalidation budget (``limit``), returning the
+    ``url`` column the round plan's forced-refetch path consumes.
+    The global top-k compiles to TakeOrderedAndProject (per-partition
+    heads merged on the driver), never a full sort materialization —
+    the budget is small by definition."""
+    cands = recrawl_candidates(corpus, signals, now_ts, max_age_days)
+    if limit is not None:
+        cands = cands.orderBy(
+            F.col("priority").asc(),
+            F.col("staleness_days").desc(),
+            F.col("url"),
+        ).limit(limit)
+    return cands.select("url")
