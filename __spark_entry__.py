@@ -1500,6 +1500,25 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     return files
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (`ws/operators/decontam.py`): docs
+    whose doc_id % 17 == 3 form the 'benchmark'; every document gets a
+    distinct-13-gram overlap count and a contaminated flag (benchmark
+    members with ≥13 tokens flag themselves; exact-dup partners flag
+    transitively; short docs have no grams and stay clean). Gram = the
+    literal normalized token string — no hashing — so the oracle states
+    the identical computation in SQL."""
+    from webscraper_spark.operators.decontam import contamination_flags
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 3)
+    return contamination_flags(d, bench).select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
 def q_recrawl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl scheduling (`ws/operators/recrawl.py`): a derived corpus
     (fetch_ts by doc_id) joined against discovery freshness signals
@@ -1780,16 +1799,18 @@ def cert_oracle_sql() -> dict[str, str]:
 #   r04 window: all production queries incl. the 9 never-recorded ones;
 #       tail = region_rollup, rollup_revenue, distinct_event_types,
 #              event_type_counts, value_percentiles, convalue (r02+r03)
-#   r05 window: the six r03-tail queries rotate back IN; TEN r03+r04
-#       double-green queries rotate OUT to the tail — six scalar/join
-#       ones (clean_ratings, url_kernels, scalar_misc, fk_dereference,
-#       tag_theta_join, event_props_filter) plus four displaced by the
+#   r05 window: the six r03-tail queries rotate back IN; ELEVEN
+#       r03+r04 double-green queries rotate OUT to the tail — six
+#       scalar/join ones (clean_ratings, url_kernels, scalar_misc,
+#       fk_dereference, tag_theta_join, event_props_filter) plus five
+#       displaced by the
 #       new gate queries added this round (token_counts→pdf_extract,
 #       merge_upsert→docx_extract, running_avg→feed_ingest,
-#       latest_event_per_user→recrawl_candidates) — ten tail entries
-#       total. All ten must rotate back IN for r06; the four new
-#       queries get their first driver rows this round and can then
-#       take tail turns.
+#       latest_event_per_user→recrawl_candidates,
+#       event_histogram→decontaminate) — eleven tail entries total.
+#       All eleven must rotate back IN for r06; the five new queries
+#       get their first driver rows this round and can then take tail
+#       turns.
 _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         # crawl engine + sources
         "politeness_schedule": q_politeness_schedule,
@@ -1810,7 +1831,6 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "unmatched_companies": q_unmatched_companies,
         "matched_companies": q_matched_companies,
         # event analytics
-        "event_histogram": q_event_histogram,
         "sessionize": q_sessionize,
         # rotated back into the window this round (last driver rows: r03)
         "region_rollup": q_region_rollup,
@@ -1826,6 +1846,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "geo_categorize": q_geo_categorize,
         # dedup + similarity
         "exact_dedup": q_exact_dedup,
+        "decontaminate": q_decontaminate,
         "minhash_lsh_fast": q_minhash_lsh_fast,
         "near_dup_clusters_fast": q_near_dup_clusters_fast,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1855,6 +1876,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "merge_upsert": q_merge_upsert,
         "running_avg": q_running_avg,
         "latest_event_per_user": q_latest_event_per_user,
+        "event_histogram": q_event_histogram,
         "token_counts": q_token_counts,
         "event_props_filter": q_event_props_filter,
         "clean_ratings": q_clean_ratings,
@@ -2693,6 +2715,27 @@ SELECT 'https://s' || (doc_id % 9) || '.example/p/' || doc_id || '?a=1&b=2' AS u
              ELSE 2 END)::BIGINT AS priority,
        TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 27) * INTERVAL 1 DAY AS lastmod_ts
 FROM documents WHERE doc_id % 11 <> 10
+"""
+
+    sql["decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 11, 1))) AS i
+        FROM toks)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 3
+), hits AS (
+  SELECT d.doc_id, count(DISTINCT d.g) AS n_hits
+  FROM grams d JOIN bench b ON d.g = b.g GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS contaminated
+FROM toks t LEFT JOIN hits h USING (doc_id)
 """
 
     sql["recrawl_candidates"] = """
