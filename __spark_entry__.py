@@ -2719,8 +2719,11 @@ FROM documents WHERE doc_id % 11 <> 10
 
     sql["decontaminate"] = r"""
 WITH toks AS (
+  -- mirror the engine's words_sql: split(lower(trim(text)), '\s+').
+  -- Java's \s includes vertical tab; RE2's does not, so the class is
+  -- written out explicitly
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+         regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
   FROM documents
 ), grams AS (
   SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g

@@ -67,11 +67,40 @@ def test_decontaminate_drops_and_keeps_columns(spark):
 
 
 def test_plan_shape(spark):
+    from webscraper_spark.operators.decontam import _hit_counts
+
     docs = _docs(spark, [(0, BENCH_TEXT)])
     bench = _docs(spark, [(100, BENCH_TEXT)])
-    plan = contamination_flags(
-        docs, bench
+    # assert on the PROBE join itself (not the reporting join, whose
+    # tiny hits side would broadcast anyway and mask a regression)
+    plan = _hit_counts(
+        docs, bench, "text", "doc_id", 13, True
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the benchmark side broadcasts
+
+
+def test_shuffle_fallback_matches_broadcast(spark):
+    """broadcast_bench=False must change only the physical join, never
+    the rows."""
+    docs = _docs(spark, [
+        (0, BENCH_TEXT + " extra tail"),
+        (1, "unrelated text " * 8),
+        (2, BENCH_TEXT),
+    ])
+    bench = _docs(spark, [(100, BENCH_TEXT)])
+    a = sorted(map(tuple, contamination_flags(docs, bench).collect()))
+    b = sorted(map(tuple, contamination_flags(
+        docs, bench, broadcast_bench=False).collect()))
+    assert a == b
+
+
+def test_tokenization_treats_vertical_tab_as_whitespace(spark):
+    """The engine's \\s (Java) includes vertical tab; the oracle writes
+    the class out explicitly — pin the engine side so they can't
+    drift."""
+    docs = _docs(spark, [(0, BENCH_TEXT.replace(" ", "\x0b", 3))])
+    bench = _docs(spark, [(100, BENCH_TEXT)])
+    [row] = contamination_flags(docs, bench).collect()
+    assert row["contaminated"] == 1
