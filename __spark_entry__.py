@@ -1500,6 +1500,21 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     return files
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (`ws/operators/sampling.py`):
+    exactly 20 documents per language, ranked by xxhash64('s0:'||id) —
+    reproducible across runs and cluster sizes, exact counts (not
+    Bernoulli rates). The golden twin replays the per-stratum sort
+    sequentially in Python with the spec-level xxHash64."""
+    from webscraper_spark.operators.sampling import stratified_sample
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, ["lang"], 20).select(
+        "doc_id", "lang",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (`ws/operators/decontam.py`): docs
     whose doc_id % 17 == 3 form the 'benchmark'; every document gets a
@@ -1799,16 +1814,17 @@ def cert_oracle_sql() -> dict[str, str]:
 #   r04 window: all production queries incl. the 9 never-recorded ones;
 #       tail = region_rollup, rollup_revenue, distinct_event_types,
 #              event_type_counts, value_percentiles, convalue (r02+r03)
-#   r05 window: the six r03-tail queries rotate back IN; ELEVEN
+#   r05 window: the six r03-tail queries rotate back IN; TWELVE
 #       r03+r04 double-green queries rotate OUT to the tail — six
 #       scalar/join ones (clean_ratings, url_kernels, scalar_misc,
-#       fk_dereference, tag_theta_join, event_props_filter) plus five
-#       displaced by the
-#       new gate queries added this round (token_counts→pdf_extract,
-#       merge_upsert→docx_extract, running_avg→feed_ingest,
+#       fk_dereference, tag_theta_join, event_props_filter) plus six
+#       displaced by the new gate queries added this round
+#       (token_counts→pdf_extract, merge_upsert→docx_extract,
+#       running_avg→feed_ingest,
 #       latest_event_per_user→recrawl_candidates,
-#       event_histogram→decontaminate) — eleven tail entries total.
-#       All eleven must rotate back IN for r06; the five new queries
+#       event_histogram→decontaminate,
+#       sessionize→stratified_sample) — twelve tail entries total.
+#       All twelve must rotate back IN for r06; the six new queries
 #       get their first driver rows this round and can then take tail
 #       turns.
 _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
@@ -1831,7 +1847,6 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "unmatched_companies": q_unmatched_companies,
         "matched_companies": q_matched_companies,
         # event analytics
-        "sessionize": q_sessionize,
         # rotated back into the window this round (last driver rows: r03)
         "region_rollup": q_region_rollup,
         "rollup_revenue": q_rollup_revenue,
@@ -1847,6 +1862,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         # dedup + similarity
         "exact_dedup": q_exact_dedup,
         "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         "minhash_lsh_fast": q_minhash_lsh_fast,
         "near_dup_clusters_fast": q_near_dup_clusters_fast,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1877,6 +1893,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "running_avg": q_running_avg,
         "latest_event_per_user": q_latest_event_per_user,
         "event_histogram": q_event_histogram,
+        "sessionize": q_sessionize,
         "token_counts": q_token_counts,
         "event_props_filter": q_event_props_filter,
         "clean_ratings": q_clean_ratings,
@@ -2847,6 +2864,10 @@ FROM documents WHERE doc_id % 5 <> 4
             _g.golden_docx_extract(),
             ["doc_id", "n_paragraphs", "text", "has_fields", "docx_error"],
             casts={"docx_error": "VARCHAR"},
+        )
+        sql["stratified_sample"] = _g.values_sql(
+            _g.golden_stratified_sample(_gold_sf),
+            ["doc_id", "lang", "sample_rank"],
         )
         sql["ivf_kmeans"] = _g.values_sql(
             _g.golden_ivf_kmeans(_gold_sf), ["centroid_id", "dim", "value"]

@@ -723,6 +723,30 @@ def golden_pdf_extract() -> list[dict]:
     return rows
 
 
+def golden_stratified_sample(sf_dir: str, n_per_stratum: int = 20,
+                             seed: str = "s0") -> list[dict]:
+    """Twin of q_stratified_sample: per-lang top-n by
+    (xxh64(f'{seed}:{doc_id}'), doc_id) — a sequential Python sort per
+    stratum against the engine's WindowGroupLimit plan."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, lang FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    by_lang: dict = {}
+    for doc_id, lang in rows:
+        by_lang.setdefault(lang, []).append(doc_id)
+    out = []
+    for lang, ids in by_lang.items():
+        ranked = sorted(
+            ids, key=lambda i: (xxh64(f"{seed}:{i}".encode()), i)
+        )
+        for rank, doc_id in enumerate(ranked[:n_per_stratum], start=1):
+            out.append({"doc_id": doc_id, "lang": lang,
+                        "sample_rank": rank})
+    return sorted(out, key=lambda r: r["doc_id"])
+
+
 def golden_docx_extract() -> list[dict]:
     """Twin of q_docx_extract: expected rows stated from the fixture
     construction constants (paragraph-generation formula, escape
