@@ -70,7 +70,37 @@ def test_quota_sample(spark):
 def test_quota_sample_empty_quotas(spark):
     docs = _docs(spark)
     quotas = docs.select(F.col("lang"), F.lit(1).alias("quota")).limit(0)
-    assert quota_sample(docs, ["lang"], quotas).count() == 0
+    empty = quota_sample(docs, ["lang"], quotas)
+    assert empty.count() == 0
+    # both paths return the same column order: df columns + sample_rank
+    full = quota_sample(docs, ["lang"], docs.select(
+        F.col("lang"), F.lit(1).alias("quota")).distinct())
+    assert empty.columns == full.columns == ["doc_id", "lang",
+                                             "sample_rank"]
+
+
+def test_quota_sample_rejects_duplicate_strata(spark):
+    import pytest
+
+    docs = _docs(spark)
+    quotas = spark.createDataFrame(
+        pd.DataFrame([("en", 5), ("en", 3)], columns=["lang", "quota"]),
+        "lang string, quota int",
+    )
+    with pytest.raises(ValueError, match="duplicate strata"):
+        quota_sample(docs, ["lang"], quotas)
+
+
+def test_rejects_existing_sample_rank_column(spark):
+    import pytest
+
+    docs = _docs(spark)
+    once = stratified_sample(docs, ["lang"], 5)
+    with pytest.raises(ValueError, match="sample_rank"):
+        stratified_sample(once, ["lang"], 2)
+    # the documented two-stage path: drop the rank, then re-sample
+    again = stratified_sample(once.drop("sample_rank"), ["lang"], 2)
+    assert again.count() == 6
 
 
 def test_plan_uses_window_group_limit(spark):

@@ -13,33 +13,39 @@ Two requirements separate this from ``df.sample()``:
   rates. Ranking + ``row_number() <= n`` gives exactly n (or the whole
   stratum when it is smaller).
 
-Scale shape: a literal per-stratum limit compiles to WindowGroupLimit
-(rank pushdown — each task keeps a bounded heap per stratum; no stratum
-ever fully sorts or materializes). Dynamic quotas (a per-stratum quota
-table) cannot push a non-literal limit, so :func:`quota_sample` first
-applies WindowGroupLimit at the LARGEST quota (a literal, read from the
-tiny quota table driver-side) and then the exact per-stratum filter —
-the full-corpus work stays bounded-heap, and the dynamic comparison
-touches at most ``max_quota`` rows per stratum.
+The rank-filter itself delegates to :func:`~.topk.topk_per_group`
+(WindowGroupLimit / skew notes live there). Dynamic quotas cannot push
+a non-literal limit, so :func:`quota_sample` first ranks at the LARGEST
+quota (a literal, read from the tiny quota table driver-side) and then
+applies the exact per-stratum filter — the full-corpus work stays
+bounded-heap, and the dynamic comparison touches at most ``max_quota``
+rows per stratum.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_RANK = "_sample_rank"
+from .topk import topk_per_group
+
+RANK_COL = "sample_rank"
 
 
-def _rank_in_stratum(df: DataFrame, strata: list, id_col: str,
-                     seed: str) -> DataFrame:
-    """row_number per stratum in the deterministic pseudorandom order
-    (hash first, id tiebreak for hash collisions)."""
+def _sample_order(id_col: str, seed: str) -> list:
     h = F.xxhash64(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     )
-    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
-    return df.withColumn(_RANK, F.row_number().over(w))
+    return [h.asc(), F.col(id_col).asc()]  # id tiebreak for collisions
+
+
+def _check_no_rank_col(df: DataFrame) -> None:
+    if RANK_COL in df.columns:
+        raise ValueError(
+            f"input already has a {RANK_COL!r} column — drop or rename "
+            "it before re-sampling (silent clobber would corrupt a "
+            "two-stage mixing pipeline)"
+        )
 
 
 def stratified_sample(
@@ -52,11 +58,11 @@ def stratified_sample(
     """Exactly ``n_per_stratum`` rows from every stratum (all rows of a
     smaller stratum), chosen by the seeded hash order. Keeps all input
     columns plus ``sample_rank`` (1-based within the stratum)."""
-    return (
-        _rank_in_stratum(df, strata, id_col, seed)
-        .filter(F.col(_RANK) <= n_per_stratum)
-        .withColumnRenamed(_RANK, "sample_rank")
-    )
+    _check_no_rank_col(df)
+    return topk_per_group(
+        df, strata, _sample_order(id_col, seed), n_per_stratum,
+        rank_col=RANK_COL,
+    ).select(*df.columns, RANK_COL)
 
 
 def quota_sample(
@@ -68,18 +74,28 @@ def quota_sample(
 ) -> DataFrame:
     """Per-stratum hard quotas: ``quotas`` has the strata columns plus
     ``quota`` (rows to keep; a stratum absent from the table keeps
-    nothing). The quota table is tiny by definition (one row per
-    stratum) — it broadcasts, and its max quota is read driver-side to
-    keep the window in WindowGroupLimit territory."""
-    max_quota = quotas.agg(F.max("quota")).first()[0]
-    if max_quota is None:
-        return df.limit(0).withColumn("sample_rank", F.lit(1))
-    ranked = _rank_in_stratum(df, strata, id_col, seed).filter(
-        F.col(_RANK) <= int(max_quota)  # literal → WindowGroupLimit
+    nothing). The quota table is one row per stratum BY CONTRACT — it
+    is collected driver-side (tiny by definition) to read the max
+    quota, and duplicate strata rows raise rather than silently fanning
+    out the join and double-weighting a stratum. Output columns =
+    input columns + ``sample_rank`` in both the populated and the
+    empty-quota paths."""
+    _check_no_rank_col(df)
+    q = quotas.select(*strata, "quota")
+    qrows = q.collect()  # tiny by contract: one row per stratum
+    keys = [tuple(r[c] for c in strata) for r in qrows]
+    if len(keys) != len(set(keys)):
+        raise ValueError("duplicate strata rows in quotas table")
+    out_cols = [*df.columns, RANK_COL]
+    if not qrows:
+        return df.limit(0).withColumn(RANK_COL, F.lit(1)).select(*out_cols)
+    max_quota = max(int(r["quota"]) for r in qrows)
+    ranked = topk_per_group(
+        df, strata, _sample_order(id_col, seed), max_quota,
+        rank_col=RANK_COL,
     )
     return (
-        ranked.join(F.broadcast(quotas), on=strata, how="inner")
-        .filter(F.col(_RANK) <= F.col("quota"))
-        .drop("quota")
-        .withColumnRenamed(_RANK, "sample_rank")
+        ranked.join(F.broadcast(q), on=strata, how="inner")
+        .filter(F.col(RANK_COL) <= F.col("quota"))
+        .select(*out_cols)
     )
