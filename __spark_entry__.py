@@ -1500,6 +1500,39 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     return files
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (`ws/functions/pii.py`): deterministic PII spans
+    (emails, dotted-quad IPs, SSN shapes, US phone shapes) are injected
+    into documents.text by doc_id rule, then counted and redacted with
+    the Java∩RE2-identical pattern set — the oracle injects and redacts
+    with the same SQL, so counts AND redacted text hash-match."""
+    from webscraper_spark.functions.pii import redact_pii
+
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.concat(
+            F.lit(" mail u"), _s(i), F.lit("@ex"), _s(i % 7), F.lit(".org")
+        )).otherwise(F.lit("")),
+        F.when(i % 4 == 1, F.concat(
+            F.lit(" from 10."), _s(i % 200), F.lit(".0."), _s(i % 100)
+        )).otherwise(F.lit("")),
+        F.when(i % 5 == 2, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
+        F.when(i % 5 == 3, F.lit(" call (555) 123-4567 now"))
+         .otherwise(F.lit("")),
+    )
+    docs = d.select("doc_id", pii_text.alias("text"))
+    return redact_pii(docs).select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "text_redacted",
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (`ws/operators/sampling.py`):
     exactly 20 documents per language, ranked by xxhash64('s0:'||id) —
@@ -1814,17 +1847,17 @@ def cert_oracle_sql() -> dict[str, str]:
 #   r04 window: all production queries incl. the 9 never-recorded ones;
 #       tail = region_rollup, rollup_revenue, distinct_event_types,
 #              event_type_counts, value_percentiles, convalue (r02+r03)
-#   r05 window: the six r03-tail queries rotate back IN; TWELVE
+#   r05 window: the six r03-tail queries rotate back IN; THIRTEEN
 #       r03+r04 double-green queries rotate OUT to the tail — six
 #       scalar/join ones (clean_ratings, url_kernels, scalar_misc,
-#       fk_dereference, tag_theta_join, event_props_filter) plus six
+#       fk_dereference, tag_theta_join, event_props_filter) plus seven
 #       displaced by the new gate queries added this round
 #       (token_counts→pdf_extract, merge_upsert→docx_extract,
 #       running_avg→feed_ingest,
 #       latest_event_per_user→recrawl_candidates,
-#       event_histogram→decontaminate,
-#       sessionize→stratified_sample) — twelve tail entries total.
-#       All twelve must rotate back IN for r06; the six new queries
+#       event_histogram→decontaminate, sessionize→stratified_sample,
+#       top_orders_per_customer→pii_redact) — thirteen tail entries.
+#       All thirteen must rotate back IN for r06; the seven new queries
 #       get their first driver rows this round and can then take tail
 #       turns.
 _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
@@ -1842,7 +1875,6 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "warc_ingest": q_warc_ingest,
         # relational core
         "pricing_summary": q_pricing_summary,
-        "top_orders_per_customer": q_top_orders_per_customer,
         "share_threshold": q_share_threshold,
         "unmatched_companies": q_unmatched_companies,
         "matched_companies": q_matched_companies,
@@ -1863,6 +1895,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "exact_dedup": q_exact_dedup,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
         "minhash_lsh_fast": q_minhash_lsh_fast,
         "near_dup_clusters_fast": q_near_dup_clusters_fast,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1894,6 +1927,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "latest_event_per_user": q_latest_event_per_user,
         "event_histogram": q_event_histogram,
         "sessionize": q_sessionize,
+        "top_orders_per_customer": q_top_orders_per_customer,
         "token_counts": q_token_counts,
         "event_props_filter": q_event_props_filter,
         "clean_ratings": q_clean_ratings,
@@ -2732,6 +2766,41 @@ SELECT 'https://s' || (doc_id % 9) || '.example/p/' || doc_id || '?a=1&b=2' AS u
              ELSE 2 END)::BIGINT AS priority,
        TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 27) * INTERVAL 1 DAY AS lastmod_ts
 FROM documents WHERE doc_id % 11 <> 10
+"""
+
+    _pii_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _pii_ipv4 = (r"\b(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+                 r"(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}\b")
+    _pii_ssn = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+    _pii_phone = r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
+    sql["pii_redact"] = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' mail u' || doc_id || '@ex' || (doc_id % 7) || '.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 100)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 2 THEN ' id 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 5 = 3 THEN ' call (555) 123-4567 now'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_pii_email}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t, '{_pii_ipv4}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t, '{_pii_ssn}'))::BIGINT AS n_ssn,
+       len(regexp_extract_all(t, '{_pii_phone}'))::BIGINT AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_pii_email}', '<EMAIL>', 'g'),
+             '{_pii_ipv4}', '<IP>', 'g'),
+           '{_pii_ssn}', '<SSN>', 'g'),
+         '{_pii_phone}', '<PHONE>', 'g') AS text_redacted
+FROM pii
 """
 
     sql["decontaminate"] = r"""
