@@ -2768,41 +2768,6 @@ SELECT 'https://s' || (doc_id % 9) || '.example/p/' || doc_id || '?a=1&b=2' AS u
 FROM documents WHERE doc_id % 11 <> 10
 """
 
-    _pii_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    _pii_ipv4 = (r"\b(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
-                 r"(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}\b")
-    _pii_ssn = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
-    _pii_phone = r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
-    sql["pii_redact"] = f"""
-WITH pii AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 3 = 0
-                 THEN ' mail u' || doc_id || '@ex' || (doc_id % 7) || '.org'
-                 ELSE '' END
-         || CASE WHEN doc_id % 4 = 1
-                 THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 100)
-                 ELSE '' END
-         || CASE WHEN doc_id % 5 = 2 THEN ' id 123-45-6789' ELSE '' END
-         || CASE WHEN doc_id % 5 = 3 THEN ' call (555) 123-4567 now'
-                 ELSE '' END AS t
-  FROM documents
-)
-SELECT doc_id,
-       len(regexp_extract_all(t, '{_pii_email}'))::BIGINT AS n_email,
-       len(regexp_extract_all(t, '{_pii_ipv4}'))::BIGINT AS n_ipv4,
-       len(regexp_extract_all(t, '{_pii_ssn}'))::BIGINT AS n_ssn,
-       len(regexp_extract_all(t, '{_pii_phone}'))::BIGINT AS n_phone,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(t, '{_pii_email}', '<EMAIL>', 'g'),
-             '{_pii_ipv4}', '<IP>', 'g'),
-           '{_pii_ssn}', '<SSN>', 'g'),
-         '{_pii_phone}', '<PHONE>', 'g') AS text_redacted
-FROM pii
-"""
-
     sql["decontaminate"] = r"""
 WITH toks AS (
   -- mirror the engine's words_sql: split(lower(trim(text)), '\s+').
@@ -2933,6 +2898,11 @@ FROM documents WHERE doc_id % 5 <> 4
             _g.golden_docx_extract(),
             ["doc_id", "n_paragraphs", "text", "has_fields", "docx_error"],
             casts={"docx_error": "VARCHAR"},
+        )
+        sql["pii_redact"] = _g.values_sql(
+            _g.golden_pii_redact(_gold_sf),
+            ["doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone",
+             "text_redacted"],
         )
         sql["stratified_sample"] = _g.values_sql(
             _g.golden_stratified_sample(_gold_sf),

@@ -31,6 +31,25 @@ def test_ipv4(spark):
     assert "999.1.1.1" in r["text_redacted"]
 
 
+def test_phone_does_not_match_suffix_of_longer_runs(spark):
+    """Digit-boundary lookarounds: a phone-shaped SUFFIX of a longer
+    number (IDs, decimals) is not PII."""
+    r = _one(spark, "ref 20555 123-4567 and pi 3.141 592-6535 ok")
+    assert r["n_phone"] == 0
+    assert "20555 123-4567" in r["text_redacted"]
+    assert "3.141 592-6535" in r["text_redacted"]
+
+
+def test_unicode_letter_adjacency_still_redacts(spark):
+    """Java's \\b would suppress the match next to a non-ASCII letter;
+    the explicit digit-boundary lookarounds do not — é-adjacent SSNs
+    are still PII in real webtext."""
+    r = _one(spark, "é123-45-6789é and café10.1.2.3")
+    assert r["n_ssn"] == 1
+    assert r["n_ipv4"] == 1
+    assert "<SSN>" in r["text_redacted"] and "<IP>" in r["text_redacted"]
+
+
 def test_ssn_and_phone_do_not_cross_match(spark):
     r = _one(spark, "ssn 123-45-6789 phone (555) 123-4567 end")
     assert r["n_ssn"] == 1

@@ -723,6 +723,38 @@ def golden_pdf_extract() -> list[dict]:
     return rows
 
 
+def golden_pii_redact(sf_dir: str) -> list[dict]:
+    """Twin of q_pii_redact: the same doc_id-rule PII injection, then
+    counts + ordered redaction with Python ``re`` — whose lookaround
+    and explicit-class semantics match Java's (the engine side), which
+    RE2/DuckDB regex cannot (Unicode \\b, no lookarounds)."""
+    import re as _re
+
+    from webscraper_spark.functions.pii import PII_PATTERNS
+
+    compiled = [(k, _re.compile(p), r) for k, p, r in PII_PATTERNS]
+    out = []
+    for doc_id, text in _read_docs(sf_dir):
+        t = text
+        if doc_id % 3 == 0:
+            t += f" mail u{doc_id}@ex{doc_id % 7}.org"
+        if doc_id % 4 == 1:
+            t += f" from 10.{doc_id % 200}.0.{doc_id % 100}"
+        if doc_id % 5 == 2:
+            t += " id 123-45-6789"
+        if doc_id % 5 == 3:
+            t += " call (555) 123-4567 now"
+        row = {"doc_id": doc_id}
+        for kind, rx, _ in compiled:
+            row[f"n_{kind}"] = len(rx.findall(t))
+        red = t
+        for _, rx, repl in compiled:
+            red = rx.sub(repl, red)
+        row["text_redacted"] = red
+        out.append(row)
+    return out
+
+
 def golden_stratified_sample(sf_dir: str, n_per_stratum: int = 20,
                              seed: str = "s0") -> list[dict]:
     """Twin of q_stratified_sample: per-lang top-n by

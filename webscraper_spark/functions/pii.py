@@ -7,14 +7,16 @@ module implements the standard pass as chained ``regexp_replace`` plus
 per-kind ``regexp_count`` — all JVM-side expressions, no Python in the
 hot path, zero exchanges (pure per-row projection).
 
-Pattern portability contract: every pattern is written in the syntax
-subset Java regex (Spark) and RE2 (the DuckDB oracle) evaluate
-IDENTICALLY — character classes, bounded repetition, ``\\b`` on ASCII
-word characters; no lookarounds (RE2 has none), no backreferences, and
-no ``\\s`` (Java's includes vertical tab, RE2's does not — the one
-divergence that has bitten this repo before). Counts are measured per
-kind on the ORIGINAL text (independent, may overlap); redaction then
-applies in the declared order.
+Pattern portability contract: boundaries are explicit digit/dot/dash
+LOOKAROUNDS, not ``\\b`` — Java's ``\\b`` is Unicode-aware (a letter
+like ``é`` next to a digit suppresses the boundary) while RE2's is
+ASCII-only, so ``\\b`` cannot be oracle-stable and a plain pattern
+without guards redacts the SUFFIX of longer digit runs. Lookarounds
+rule RE2 out entirely, so the oracle is a Python ``re`` golden twin
+(``tools/golden.py``): Python's lookarounds and explicit ``[0-9]``
+classes evaluate identically to Java's on these patterns. Counts are
+measured per kind on the ORIGINAL text (independent, may overlap);
+redaction then applies in the declared order.
 
 Scale shape: a projection inside the scan task — nothing shuffles;
 whole-stage codegen keeps the regex loop JVM-side.
@@ -27,19 +29,20 @@ from pyspark.sql import functions as F
 
 #: (kind, pattern, replacement) — order is the redaction order.
 #: Patterns use the Java∩RE2-identical subset (see module docstring).
+_OCTET = r"(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+
 PII_PATTERNS: "list[tuple[str, str, str]]" = [
     ("email",
      r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
     ("ipv4",
-     r"\b(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
-     r"(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}\b",
+     r"(?<![0-9.])" + _OCTET + r"(\." + _OCTET + r"){3}(?![0-9.])",
      "<IP>"),
     ("ssn",
-     r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+     r"(?<![0-9-])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9-])",
      "<SSN>"),
     ("phone",
-     r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+     r"(?<![0-9.(-])\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}(?![0-9-])",
      "<PHONE>"),
 ]
 
