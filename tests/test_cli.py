@@ -230,3 +230,43 @@ def test_cli_curate(spark, tmp_path, capsys):
     # every doc passed the gate it claims
     assert clean.filter("quality_score < 0.75 OR lang_pred <> 'en'").count() == 0
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_curate_decontaminate_and_redact(spark, tmp_path, capsys):
+    """curate --benchmark drops leaky docs; --redact-pii scrubs the
+    output text."""
+    import pandas as pd
+
+    docs_dir = str(tmp_path / "docs.parquet")
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # plant PII in every doc so redaction is observable post-gate
+    base.selectExpr(
+        "doc_id", "text || ' contact x@y.example now' AS text"
+    ).write.mode("overwrite").parquet(docs_dir)
+    # benchmark = the raw text of a few docs (same 13-grams)
+    bench_dir = str(tmp_path / "bench.parquet")
+    spark.read.parquet(docs_dir).filter("doc_id % 11 = 0") \
+        .write.mode("overwrite").parquet(bench_dir)
+    out = str(tmp_path / "curated2")
+    rc = cli.main([
+        "--cores", "8", "curate",
+        "--docs", docs_dir, "--out", out,
+        "--min-quality", "0.0", "--benchmark", bench_dir, "--redact-pii",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["decontaminated"] > 0
+    assert summary["pii_redacted"] is True
+    clean = spark.read.parquet(f"{out}/clean_docs.parquet")
+    # no email survives; the placeholder proves redaction ran
+    assert clean.filter("text LIKE '%x@y.example%'").count() == 0
+    assert clean.filter("text LIKE '%<EMAIL>%'").count() == clean.count()
+    # long benchmark docs (>=13 tokens incl. the planted suffix) gone
+    leaked = clean.join(
+        spark.read.parquet(bench_dir).select("doc_id"), "doc_id", "inner"
+    )
+    assert leaked.filter(
+        "size(split(text, ' ')) >= 13"
+    ).count() == 0

@@ -126,8 +126,10 @@ def cmd_compact(args) -> int:
 def cmd_curate(args) -> int:
     """Training-data curation over a documents parquet: exact dedup →
     cross-document repeated-passage removal → language/quality gate →
-    embedding generation (→ optional IVF bucketing). The batch pipeline
-    a pretraining sweep runs per shard, driven from one command."""
+    optional benchmark decontamination (--benchmark) → optional PII
+    redaction (--redact-pii) → embedding generation (→ optional IVF
+    bucketing). The batch pipeline a pretraining sweep runs per shard,
+    driven from one command."""
     from pyspark.sql import functions as F
 
     from .operators.similarity import (
@@ -172,6 +174,24 @@ def cmd_curate(args) -> int:
         (F.col("lang_pred") == args.lang)
         & (F.col("quality_score") >= args.min_quality)
     ).select("doc_id", "text", "lang_pred", "quality_score", "n_tokens")
+
+    # decontaminate BEFORE redaction: benchmark grams are computed on
+    # raw text, and a doc dropped here must never reach the tokenizer
+    n_contaminated = 0
+    if getattr(args, "benchmark", None):
+        from .operators.decontam import decontaminate
+
+        bench = spark.read.parquet(args.benchmark).select("doc_id", "text")
+        before = gated.count()
+        gated = decontaminate(gated, bench)
+        n_contaminated = before - gated.count()
+    if getattr(args, "redact_pii", False):
+        from .functions.pii import redact_pii
+
+        gated = redact_pii(gated, "text").select(
+            "doc_id", F.col("text_redacted").alias("text"),
+            "lang_pred", "quality_score", "n_tokens",
+        )
     gated.write.mode("overwrite").parquet(f"{args.out}/clean_docs.parquet")
     gated = spark.read.parquet(f"{args.out}/clean_docs.parquet")
 
@@ -192,6 +212,8 @@ def cmd_curate(args) -> int:
         "docs_in": n_in,
         "docs_out": n_out,
         "dropped": n_in - n_out,
+        "decontaminated": n_contaminated,
+        "pii_redacted": bool(getattr(args, "redact_pii", False)),
         "ivf_centroids": args.ivf_centroids,
         "out": args.out,
     }))
@@ -281,6 +303,12 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--ivf-centroids", type=int, default=0, help="0 = skip IVF")
     cu.add_argument("--ivf-iters", type=int, default=3)
     cu.add_argument("--ivf-sample", type=float, default=None)
+    cu.add_argument("--benchmark", default=None,
+                    help="benchmark parquet (doc_id, text): drop docs "
+                         "sharing a 13-gram with any item (decontamination)")
+    cu.add_argument("--redact-pii", action="store_true",
+                    help="redact emails/IPs/SSN/phone shapes in the "
+                         "output text")
     cu.set_defaults(fn=cmd_curate)
 
     k = sub.add_parser("compact", help="fold delta-table round partitions into one base")
