@@ -234,39 +234,45 @@ def test_cli_curate(spark, tmp_path, capsys):
 
 def test_cli_curate_decontaminate_and_redact(spark, tmp_path, capsys):
     """curate --benchmark drops leaky docs; --redact-pii scrubs the
-    output text."""
+    output text. Docs are synthesized so the expectation is exact:
+    every 13-token window contains a per-doc unique token (u{i} at
+    positions 0 and 12), so docs share grams ONLY with their own
+    benchmark copy; --min-dup-docs 9999 neutralizes passage cleaning
+    so cleaned text == raw text and benchmark membership alone decides
+    the drop."""
     import pandas as pd
 
+    rows = [
+        (i,
+         f"u{i} the quick brown fox jumps over the lazy dog near "
+         f"barn u{i} contact x@y.example now and more plain words")
+        for i in range(30)
+    ]
     docs_dir = str(tmp_path / "docs.parquet")
-    base = spark.read.parquet(
-        "/root/testdata/sf0.001/documents.parquet"
-    ).select("doc_id", "text")
-    # plant PII in every doc so redaction is observable post-gate
-    base.selectExpr(
-        "doc_id", "text || ' contact x@y.example now' AS text"
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
     ).write.mode("overwrite").parquet(docs_dir)
-    # benchmark = the raw text of a few docs (same 13-grams)
     bench_dir = str(tmp_path / "bench.parquet")
-    spark.read.parquet(docs_dir).filter("doc_id % 11 = 0") \
+    spark.read.parquet(docs_dir).filter("doc_id % 3 = 0") \
         .write.mode("overwrite").parquet(bench_dir)
     out = str(tmp_path / "curated2")
     rc = cli.main([
         "--cores", "8", "curate",
         "--docs", docs_dir, "--out", out,
-        "--min-quality", "0.0", "--benchmark", bench_dir, "--redact-pii",
+        "--min-quality", "0.0", "--min-dup-docs", "9999",
+        "--benchmark", bench_dir, "--redact-pii",
     ])
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert summary["decontaminated"] > 0
+    assert summary["decontaminated"] == 10  # exactly the bench members
     assert summary["pii_redacted"] is True
     clean = spark.read.parquet(f"{out}/clean_docs.parquet")
+    assert clean.count() == 20
+    assert clean.filter("doc_id % 3 = 0").count() == 0  # leaks gone
     # no email survives; the placeholder proves redaction ran
     assert clean.filter("text LIKE '%x@y.example%'").count() == 0
-    assert clean.filter("text LIKE '%<EMAIL>%'").count() == clean.count()
-    # long benchmark docs (>=13 tokens incl. the planted suffix) gone
-    leaked = clean.join(
-        spark.read.parquet(bench_dir).select("doc_id"), "doc_id", "inner"
-    )
-    assert leaked.filter(
-        "size(split(text, ' ')) >= 13"
-    ).count() == 0
+    assert clean.filter("text LIKE '%<EMAIL>%'").count() == 20
+    # n_tokens describes the SHIPPED (redacted) text
+    bad = clean.filter("n_tokens <> size(split(trim(text), '\\\\s+'))")
+    assert bad.count() == 0

@@ -176,22 +176,29 @@ def cmd_curate(args) -> int:
     ).select("doc_id", "text", "lang_pred", "quality_score", "n_tokens")
 
     # decontaminate BEFORE redaction: benchmark grams are computed on
-    # raw text, and a doc dropped here must never reach the tokenizer
-    n_contaminated = 0
-    if getattr(args, "benchmark", None):
+    # raw text, and a doc dropped here must never reach the tokenizer.
+    # gated is persisted so the gate count, the probe join and the
+    # final write execute the upstream pipeline once, not three times;
+    # decontamination is the ONLY post-gate dropper, so its count falls
+    # out of (gate count − written count) with no extra action.
+    n_gated = None
+    if args.benchmark:
         from .operators.decontam import decontaminate
 
-        bench = spark.read.parquet(args.benchmark).select("doc_id", "text")
-        before = gated.count()
+        bench = spark.read.parquet(args.benchmark).select("text")
+        gated = gated.persist()
+        n_gated = gated.count()
         gated = decontaminate(gated, bench)
-        n_contaminated = before - gated.count()
-    if getattr(args, "redact_pii", False):
+    if args.redact_pii:
         from .functions.pii import redact_pii
+        from .operators.textstats import token_count_col
 
+        # n_tokens must describe the text actually shipped: redaction
+        # can change the token count (e.g. '555 123 4567' → '<PHONE>')
         gated = redact_pii(gated, "text").select(
             "doc_id", F.col("text_redacted").alias("text"),
-            "lang_pred", "quality_score", "n_tokens",
-        )
+            "lang_pred", "quality_score",
+        ).withColumn("n_tokens", token_count_col("text"))
     gated.write.mode("overwrite").parquet(f"{args.out}/clean_docs.parquet")
     gated = spark.read.parquet(f"{args.out}/clean_docs.parquet")
 
@@ -212,8 +219,8 @@ def cmd_curate(args) -> int:
         "docs_in": n_in,
         "docs_out": n_out,
         "dropped": n_in - n_out,
-        "decontaminated": n_contaminated,
-        "pii_redacted": bool(getattr(args, "redact_pii", False)),
+        "decontaminated": (n_gated - n_out) if n_gated is not None else 0,
+        "pii_redacted": bool(args.redact_pii),
         "ivf_centroids": args.ivf_centroids,
         "out": args.out,
     }))
@@ -292,7 +299,8 @@ def main(argv: list[str] | None = None) -> int:
     cu = sub.add_parser(
         "curate",
         help="training-data curation: dedup → passage clean → lang/quality "
-             "gate → embeddings (→ IVF buckets)",
+             "gate → decontamination (--benchmark) → PII redaction "
+             "(--redact-pii) → embeddings (→ IVF buckets)",
     )
     cu.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
     cu.add_argument("--out", required=True)
