@@ -1500,6 +1500,30 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     return files
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (`ws/operators/redirects.py`): chains
+    `d -> d-1` terminating at multiples of 16 (up to 15 hops) plus an
+    explicit 3-cycle — pointer doubling resolves in ceil(log2 64) = 6
+    self-joins; the oracle walks the same graph with a recursive CTE
+    and the same 64-step cap, so loop rows report identical positions."""
+    from webscraper_spark.operators.redirects import resolve_redirects
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    chain = d.filter(F.col("doc_id") % 16 != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - 1).alias("dst"),
+    )
+    cycle = spark.createDataFrame(
+        [(9000001, 9000002), (9000002, 9000003), (9000003, 9000001)],
+        "src long, dst long",
+    )
+    out = resolve_redirects(chain.unionAll(cycle), max_hops=64)
+    return out.select(
+        "src", "final_dst", "n_hops",
+        F.col("terminated").cast("long").alias("terminated"),
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (`ws/functions/pii.py`): deterministic PII spans
     (emails, dotted-quad IPs, SSN shapes, US phone shapes) are injected
@@ -1847,17 +1871,18 @@ def cert_oracle_sql() -> dict[str, str]:
 #   r04 window: all production queries incl. the 9 never-recorded ones;
 #       tail = region_rollup, rollup_revenue, distinct_event_types,
 #              event_type_counts, value_percentiles, convalue (r02+r03)
-#   r05 window: the six r03-tail queries rotate back IN; THIRTEEN
+#   r05 window: the six r03-tail queries rotate back IN; FOURTEEN
 #       r03+r04 double-green queries rotate OUT to the tail — six
 #       scalar/join ones (clean_ratings, url_kernels, scalar_misc,
-#       fk_dereference, tag_theta_join, event_props_filter) plus seven
+#       fk_dereference, tag_theta_join, event_props_filter) plus eight
 #       displaced by the new gate queries added this round
 #       (token_counts→pdf_extract, merge_upsert→docx_extract,
 #       running_avg→feed_ingest,
 #       latest_event_per_user→recrawl_candidates,
 #       event_histogram→decontaminate, sessionize→stratified_sample,
-#       top_orders_per_customer→pii_redact) — thirteen tail entries.
-#       All thirteen must rotate back IN for r06; the seven new queries
+#       top_orders_per_customer→pii_redact,
+#       share_threshold→redirect_resolve) — fourteen tail entries.
+#       All fourteen must rotate back IN for r06; the eight new queries
 #       get their first driver rows this round and can then take tail
 #       turns.
 _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
@@ -1875,7 +1900,6 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "warc_ingest": q_warc_ingest,
         # relational core
         "pricing_summary": q_pricing_summary,
-        "share_threshold": q_share_threshold,
         "unmatched_companies": q_unmatched_companies,
         "matched_companies": q_matched_companies,
         # event analytics
@@ -1896,6 +1920,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
+        "redirect_resolve": q_redirect_resolve,
         "minhash_lsh_fast": q_minhash_lsh_fast,
         "near_dup_clusters_fast": q_near_dup_clusters_fast,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1928,6 +1953,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "event_histogram": q_event_histogram,
         "sessionize": q_sessionize,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "share_threshold": q_share_threshold,
         "token_counts": q_token_counts,
         "event_props_filter": q_event_props_filter,
         "clean_ratings": q_clean_ratings,
@@ -2766,6 +2792,31 @@ SELECT 'https://s' || (doc_id % 9) || '.example/p/' || doc_id || '?a=1&b=2' AS u
              ELSE 2 END)::BIGINT AS priority,
        TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 27) * INTERVAL 1 DAY AS lastmod_ts
 FROM documents WHERE doc_id % 11 <> 10
+"""
+
+    sql["redirect_resolve"] = """
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 16 <> 0
+  UNION ALL
+  SELECT * FROM (VALUES (9000001, 9000002), (9000002, 9000003),
+                        (9000003, 9000001)) v(src, dst)
+), walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON w.cur = e.src
+  WHERE w.hops < 64
+), last AS (
+  SELECT src, cur, hops,
+         row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+  FROM walk
+)
+SELECT src,
+       cur AS final_dst,
+       hops::BIGINT AS n_hops,
+       (CASE WHEN cur IN (SELECT src FROM edges) THEN 0 ELSE 1 END)::BIGINT
+         AS terminated
+FROM last WHERE rn = 1
 """
 
     sql["decontaminate"] = r"""
