@@ -1513,8 +1513,10 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("src"),
         (F.col("doc_id") - 1).alias("dst"),
     )
+    # cycle sentinels above max(doc_id): collision-proof at any sf
+    mx = int(d.agg(F.max("doc_id")).first()[0])
     cycle = spark.createDataFrame(
-        [(9000001, 9000002), (9000002, 9000003), (9000003, 9000001)],
+        [(mx + 1, mx + 2), (mx + 2, mx + 3), (mx + 3, mx + 1)],
         "src long, dst long",
     )
     out = resolve_redirects(chain.unionAll(cycle), max_hops=64)
@@ -2795,11 +2797,13 @@ FROM documents WHERE doc_id % 11 <> 10
 """
 
     sql["redirect_resolve"] = """
-WITH RECURSIVE edges AS (
+WITH RECURSIVE mx AS (
+  SELECT max(doc_id) AS m FROM documents
+), edges AS (
   SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 16 <> 0
-  UNION ALL
-  SELECT * FROM (VALUES (9000001, 9000002), (9000002, 9000003),
-                        (9000003, 9000001)) v(src, dst)
+  UNION ALL SELECT m + 1, m + 2 FROM mx
+  UNION ALL SELECT m + 2, m + 3 FROM mx
+  UNION ALL SELECT m + 3, m + 1 FROM mx
 ), walk(src, cur, hops) AS (
   SELECT src, dst, 1 FROM edges
   UNION ALL

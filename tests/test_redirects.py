@@ -58,6 +58,17 @@ def test_max_hops_rounds_up_to_power_of_two(spark):
     assert out[12]["terminated"] is True and out[12]["n_hops"] == 12
 
 
+def test_max_hops_one_is_exact(spark):
+    """max_hops=1 means exactly one step — zero doubling rounds."""
+    edges = _edges(spark, [(2, 1), (1, 0)])
+    out = {r["src"]: r for r in
+           resolve_redirects(edges, max_hops=1).collect()}
+    assert out[2]["final_dst"] == 1
+    assert out[2]["n_hops"] == 1
+    assert out[2]["terminated"] is False  # 1 still redirects
+    assert out[1]["final_dst"] == 0 and out[1]["terminated"] is True
+
+
 def test_conflicting_targets_raise(spark):
     edges = _edges(spark, [(1, 2), (1, 3)])
     with pytest.raises(ValueError, match="not functional"):

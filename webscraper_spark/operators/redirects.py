@@ -51,24 +51,28 @@ def resolve_redirects(
     cap would corrupt later compositions)."""
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
-    max_hops = 1 << math.ceil(math.log2(max_hops))
+    # rounds first, then the normalized cap: with max_hops=1 the
+    # initial state (one hop taken) IS the answer — zero rounds
+    rounds = math.ceil(math.log2(max_hops))
+    max_hops = 1 << rounds
     m = (
         edges.select(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("cur"),
         )
         .dropDuplicates()
+        .persist()  # reused by the conflict check, round 1, final join
     )
     # functional check: tiny aggregate over the redirect subset
     n_conflicts = (
         m.groupBy("src").count().filter(F.col("count") > 1).limit(1).count()
     )
     if n_conflicts:
+        m.unpersist()
         raise ValueError(
             "redirect map is not functional: a src has conflicting targets"
         )
     state = m.withColumn("hops", F.lit(1).cast("long"))
-    rounds = max(1, math.ceil(math.log2(max_hops)))
     for _ in range(rounds):
         nxt = state.alias("a").join(
             state.select(
@@ -89,8 +93,9 @@ def resolve_redirects(
              ).alias("hops"),
         ).localCheckpoint(eager=True)
     # a row is terminated when its final node has no outgoing redirect
-    return state.alias("s").join(
-        m.select(F.col("src").alias("t_src")).distinct(),
+    # (src is unique in m — the functional check proved it)
+    out = state.alias("s").join(
+        m.select(F.col("src").alias("t_src")),
         F.col("s.cur") == F.col("t_src"),
         "left",
     ).select(
@@ -98,4 +103,6 @@ def resolve_redirects(
         F.col("s.cur").alias("final_dst"),
         F.col("s.hops").alias("n_hops"),
         F.col("t_src").isNull().alias("terminated"),
-    )
+    ).localCheckpoint(eager=True)  # materialize, then free the map
+    m.unpersist()
+    return out
