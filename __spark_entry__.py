@@ -1500,6 +1500,39 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     return files
 
 
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inlink anchor aggregation (`ws/operators/anchors.py`): each doc
+    renders an html page with two real `<a>` tags (targets and anchor
+    texts by doc_id rule, one with entity escapes and nested markup);
+    the engine EXTRACTS the pairs from the html and aggregates per
+    target — the oracle states the same link rules in SQL and
+    aggregates identically."""
+    from webscraper_spark.operators.anchors import anchor_stats
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p><a href="https://t'),
+        _s(i % 40),
+        F.lit('.example/p">anchor <b>'), _s(i % 5),
+        F.lit(' &amp; text</b></a><div><a href="https://t'),
+        _s((i * 7) % 40),
+        F.lit('.example/p">other '), _s(i % 3),
+        F.lit("</a></div></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://src"), _s(i), F.lit(".example/")).alias("url"),
+        html.alias("html"),
+    )
+    out = anchor_stats(pages, k=3)
+    return out.select(
+        "dst_url",
+        F.col("n_inlinks").cast("long").alias("n_inlinks"),
+        F.col("n_src_pages").cast("long").alias("n_src_pages"),
+        "top_anchors",
+    )
+
+
 def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (`ws/operators/redirects.py`): chains
     `d -> d-1` terminating at multiples of 16 (up to 15 hops) plus an
@@ -1873,18 +1906,19 @@ def cert_oracle_sql() -> dict[str, str]:
 #   r04 window: all production queries incl. the 9 never-recorded ones;
 #       tail = region_rollup, rollup_revenue, distinct_event_types,
 #              event_type_counts, value_percentiles, convalue (r02+r03)
-#   r05 window: the six r03-tail queries rotate back IN; FOURTEEN
+#   r05 window: the six r03-tail queries rotate back IN; FIFTEEN
 #       r03+r04 double-green queries rotate OUT to the tail — six
 #       scalar/join ones (clean_ratings, url_kernels, scalar_misc,
-#       fk_dereference, tag_theta_join, event_props_filter) plus eight
+#       fk_dereference, tag_theta_join, event_props_filter) plus nine
 #       displaced by the new gate queries added this round
 #       (token_counts→pdf_extract, merge_upsert→docx_extract,
 #       running_avg→feed_ingest,
 #       latest_event_per_user→recrawl_candidates,
 #       event_histogram→decontaminate, sessionize→stratified_sample,
 #       top_orders_per_customer→pii_redact,
-#       share_threshold→redirect_resolve) — fourteen tail entries.
-#       All fourteen must rotate back IN for r06; the eight new queries
+#       share_threshold→redirect_resolve,
+#       unmatched_companies→anchor_stats) — fifteen tail entries.
+#       All fifteen must rotate back IN for r06; the nine new queries
 #       get their first driver rows this round and can then take tail
 #       turns.
 _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
@@ -1902,7 +1936,6 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "warc_ingest": q_warc_ingest,
         # relational core
         "pricing_summary": q_pricing_summary,
-        "unmatched_companies": q_unmatched_companies,
         "matched_companies": q_matched_companies,
         # event analytics
         # rotated back into the window this round (last driver rows: r03)
@@ -1923,6 +1956,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
         "redirect_resolve": q_redirect_resolve,
+        "anchor_stats": q_anchor_stats,
         "minhash_lsh_fast": q_minhash_lsh_fast,
         "near_dup_clusters_fast": q_near_dup_clusters_fast,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1956,6 +1990,7 @@ _QUERIES: "dict[str, Callable[[SparkSession, str], DataFrame]]" = {
         "sessionize": q_sessionize,
         "top_orders_per_customer": q_top_orders_per_customer,
         "share_threshold": q_share_threshold,
+        "unmatched_companies": q_unmatched_companies,
         "token_counts": q_token_counts,
         "event_props_filter": q_event_props_filter,
         "clean_ratings": q_clean_ratings,
@@ -2794,6 +2829,38 @@ SELECT 'https://s' || (doc_id % 9) || '.example/p/' || doc_id || '?a=1&b=2' AS u
              ELSE 2 END)::BIGINT AS priority,
        TIMESTAMP '2025-07-01 00:00:00' + (doc_id % 27) * INTERVAL 1 DAY AS lastmod_ts
 FROM documents WHERE doc_id % 11 <> 10
+"""
+
+    sql["anchor_stats"] = """
+WITH links AS (
+  SELECT 'https://src' || doc_id || '.example/' AS src,
+         'https://t' || (doc_id % 40) || '.example/p' AS dst,
+         'anchor ' || (doc_id % 5) || ' & text' AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'https://src' || doc_id || '.example/',
+         'https://t' || ((doc_id * 7) % 40) || '.example/p',
+         'other ' || (doc_id % 3)
+  FROM documents
+), per AS (
+  SELECT dst, anchor, count(*) AS n FROM links GROUP BY dst, anchor
+), ranked AS (
+  SELECT dst, anchor,
+         row_number() OVER (PARTITION BY dst ORDER BY n DESC, anchor ASC)
+           AS rn
+  FROM per
+), tops AS (
+  SELECT dst, string_agg(anchor, '|' ORDER BY rn) AS top_anchors
+  FROM ranked WHERE rn <= 3 GROUP BY dst
+), tot AS (
+  SELECT dst, count(*) AS n_inlinks, count(DISTINCT src) AS n_src_pages
+  FROM links GROUP BY dst
+)
+SELECT t.dst AS dst_url,
+       t.n_inlinks::BIGINT AS n_inlinks,
+       t.n_src_pages::BIGINT AS n_src_pages,
+       tp.top_anchors
+FROM tot t LEFT JOIN tops tp ON t.dst = tp.dst
 """
 
     sql["redirect_resolve"] = """
