@@ -40,44 +40,81 @@ def test_edge_cases_skipped_not_raised():
 
 def test_anchor_stats_profile(spark):
     rows = [
-        ("https://s1/", '<a href="/t1">alpha</a><a href="/t1">alpha</a>'
-                        '<a href="/t2">beta</a>'),
-        ("https://s2/", '<a href="/t1">gamma</a>'),
+        ("https://s1.example/",
+         '<a href="https://t.example/x">alpha</a>'
+         '<a href="https://t.example/x">alpha</a>'
+         '<a href="https://t.example/y">beta</a>'),
+        ("https://s2.example/", '<a href="https://t.example/x">gamma</a>'),
     ]
     pages = spark.createDataFrame(
         pd.DataFrame(rows, columns=["url", "html"]),
         "url string, html string",
     )
     out = {r["dst_url"]: r for r in anchor_stats(pages, k=1).collect()}
-    t1 = out["/t1"]
-    assert t1["n_inlinks"] == 3
-    assert t1["n_src_pages"] == 2
-    assert t1["top_anchors"] == "alpha"  # 2×alpha beats 1×gamma
-    assert out["/t2"]["top_anchors"] == "beta"
+    tx = out["https://t.example/x"]
+    assert tx["n_inlinks"] == 3
+    assert tx["n_src_pages"] == 2
+    assert tx["top_anchors"] == "alpha"  # 2×alpha beats 1×gamma
+    assert out["https://t.example/y"]["top_anchors"] == "beta"
+
+
+def test_anchor_stats_canonicalizes_targets(spark):
+    """Relative hrefs resolve against their OWN page: two sites'
+    '/about' links are different targets; host case and trailing
+    slashes collapse to one."""
+    rows = [
+        ("https://s1.example/", '<a href="/about">a</a>'),
+        ("https://s2.example/", '<a href="/about">b</a>'),
+        ("https://s3.example/",
+         '<a href="HTTPS://T.EXAMPLE/p/">c</a>'
+         '<a href="https://t.example/p">d</a>'
+         '<a href="javascript:void(0)">not a link</a>'),
+    ]
+    pages = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "html"]),
+        "url string, html string",
+    )
+    out = {r["dst_url"]: r for r in anchor_stats(pages).collect()}
+    assert out["https://s1.example/about"]["n_inlinks"] == 1
+    assert out["https://s2.example/about"]["n_inlinks"] == 1
+    assert out["https://t.example/p"]["n_inlinks"] == 2  # variants merge
+    assert len(out) == 3  # the javascript: href dropped
+
+
+def test_comments_and_scripts_are_not_link_context():
+    assert extract_anchors(
+        '<!-- <a href="/promo">seasonal</a> --><a href="/real">yes</a>'
+        '<script>var s = \'<a href="/js">x</a>\';</script>'
+    ) == [("/real", "yes")]
 
 
 def test_top_k_order_and_prefix_stripping(spark):
     # anchors containing ':' and '|' must survive the rank plumbing
-    rows = [("https://s/", '<a href="/t">x:y</a><a href="/t">x:y</a>'
-                           '<a href="/t">a</a><a href="/t">b</a>')]
+    # (the '|' remains ambiguous in the display string, by contract)
+    rows = [("https://s.example/",
+             '<a href="/t">x:y</a><a href="/t">x:y</a>'
+             '<a href="/t">a|b</a><a href="/t">c</a>')]
     pages = spark.createDataFrame(
         pd.DataFrame(rows, columns=["url", "html"]),
         "url string, html string",
     )
     [r] = anchor_stats(pages, k=3).collect()
-    assert r["top_anchors"] == "x:y|a|b"  # count desc, then text asc
+    assert r["top_anchors"] == "x:y|a|b|c"  # count desc, then text asc
     with pytest.raises(ValueError, match="1..99"):
         anchor_stats(pages, k=100)
 
 
 def test_plan_shape(spark):
-    rows = [("https://s/", '<a href="/t">x</a>')]
+    from webscraper_spark.operators.anchors import _anchor_stats_plan
+
+    rows = [("https://s.example/", '<a href="/t">x</a>')]
     pages = spark.createDataFrame(
         pd.DataFrame(rows, columns=["url", "html"]),
         "url string, html string",
     )
-    plan = anchor_stats(pages)._jdf.queryExecution(
-    ).executedPlan().toString()
+    lazy, base = _anchor_stats_plan(pages, "url", "html", 3)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    base.unpersist()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan  # top-k is rank-pushed
