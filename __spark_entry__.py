@@ -70,8 +70,30 @@ from webscraper_spark.operators.topk import topk_per_group
 # helpers
 # ---------------------------------------------------------------------------
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# Tables whose queries do heavy per-row work (Arrow kernels, interpreted
+# higher-order-function hashes, per-pair cosines) BEFORE the first shuffle.
+# A single-row-group parquet file scans as ONE task no matter the split
+# size (parquet splits at row-group granularity), which serializes all of
+# that work on one core; guide §2.5 "input skew: one huge unsplittable
+# file → repartition immediately after the read".
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread is None:
+        spread = name in _SPREAD_TABLES
+    if spread:
+        # scale-adaptive: only repartition when the scan cannot reach the
+        # session's parallelism on its own (single/few row groups). On a
+        # many-file production table this branch never fires, so no
+        # shuffle is added at cluster scale.
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def _s(c) -> F.Column:
@@ -98,7 +120,9 @@ def _derived_corpus(spark: SparkSession, sf_dir: str):
     two outlinks to other rows (closure over the table)."""
     _utc(spark)
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
+    # metadata-only count: read unspread so parquet's count pushdown
+    # answers from row-group stats instead of running the spread shuffle
+    n = _read(spark, sf_dir, "documents", spread=False).count()
     i = F.col("doc_id")
     t1 = (i * 3 + 1) % n
     t2 = (i * 7 + 2) % n
@@ -1339,7 +1363,9 @@ def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tools/golden.py, same size-scaled quantization)."""
     from webscraper_spark.operators.linkrank import pagerank
 
-    d = _read(spark, sf_dir, "documents")
+    # edge synthesis only touches doc_id (no per-row heavy work), so the
+    # unspread scan is the right input; count stays metadata-only
+    d = _read(spark, sf_dir, "documents", spread=False)
     n = d.count()
     i = F.col("doc_id")
     edges = d.select(i.alias("src"), ((i * 3 + 1) % n).alias("dst")).unionByName(
