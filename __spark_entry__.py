@@ -1019,6 +1019,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB pretraining sweep runs per shard)."""
     from webscraper_spark.operators.similarity import (
         embed_documents_fast,
+        embed_kernel_pandas,
         ivf_assign_fast,
     )
 
@@ -1033,13 +1034,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "quality_score", "n_tokens", "text")
     # Arrow kernels throughout: embed is bit-identical to the oracle
     # expression twin; assignment is the matmul kernel (same round-6 +
-    # smallest-id contract, equivalence-tested vs the declarative form)
-    emb = embed_documents_fast(gated.select("doc_id", "text"))
+    # smallest-id contract, equivalence-tested vs the declarative form).
+    # The metadata columns ride ALONGSIDE the embed/assign kernels, so
+    # the plan is one linear pipeline — the former gated⋈assigned
+    # self-join re-executed the whole dedup→lang-ID→quality prefix once
+    # per branch (guide §2.4: don't compute a subtree twice to join it
+    # back to itself). Row set and values are identical: the join was
+    # 1:1 on doc_id between two projections of the same `gated`.
+    emb = gated.withColumn(
+        "embedding", embed_kernel_pandas()(F.col("text"))
+    ).drop("text")
     cents = embed_documents_fast(d.filter(F.col("doc_id") % 100 == 0))
     assigned = ivf_assign_fast(emb, cents, id_col="doc_id", vec_col="embedding")
-    return gated.drop("text").join(
-        assigned.select("doc_id", "centroid_id"), on="doc_id"
-    ).select("doc_id", "lang_pred", "quality_score", "n_tokens", "centroid_id")
+    return assigned.select(
+        "doc_id", "lang_pred", "quality_score", "n_tokens", "centroid_id"
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
