@@ -188,6 +188,15 @@ def _crawl_round(spark: SparkSession, sf_dir: str, budget: int = 3) -> DataFrame
         F.col("ex.text").alias("text"),
         F.col("ex.outlinks").alias("outlinks"),
     )
+    # materialize the round's fetched+extracted rows ONCE (budget×hosts
+    # rows — tiny by construction): both the output branch and the
+    # discovery-totals branch consume `extracted`, and without the cut
+    # the whole corpus-derivation→schedule→fetch→extract subtree executes
+    # once per branch (it showed up twice in the physical plan). In
+    # production this materialization is the round's `fetched` delta
+    # write, so the cut mirrors the real pipeline. Fresh per invocation —
+    # nothing persists across bench runs.
+    extracted = extracted.localCheckpoint(eager=True)
     links = (
         extracted.select(F.col("url").alias("src"), F.explode("outlinks").alias("href"))
         .withColumn("link", canonicalize_href_udf(F.col("href"), F.col("src")))
@@ -1137,13 +1146,14 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bincount, same HALF_UP rounding — asserted in
     tests/test_passage_embed_host.py), so the hash compare certifies
     the fast path itself, ~20× the HOF form."""
-    from webscraper_spark.operators.similarity import embed_documents_fast
+    from webscraper_spark.operators.similarity import embed_documents_exploded
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    e = embed_documents_fast(d)
-    return e.select(
-        "doc_id", F.posexplode("embedding").alias("dim", "val")
-    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
+    # flatten inside the Arrow kernel (same floats, same rounding) —
+    # the former posexplode over Python-built arrays cost ~4x the
+    # embedding itself; see embed_documents_exploded
+    e = embed_documents_exploded(d)
+    return e.select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
 
 
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
