@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from webscraper_spark.functions.canon import canonicalize_href_udf, canonicalize_url_udf
 from webscraper_spark.functions.extract import extract_udf
-from webscraper_spark.functions.robots import parse_robots_udf, robots_allows_udf
+from webscraper_spark.functions.robots import parse_robots_udf
 from webscraper_spark.functions.textfns import (
     clean_rating_col,
     convalue_col,
@@ -344,10 +344,12 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "documents").select(
         i.alias("doc_id"), host.alias("host"), path.alias("path"), robots.alias("robots_txt")
     )
+    from webscraper_spark.functions.robots import robots_allows_col
+
     parsed = df.withColumn("__r", parse_robots_udf(F.col("robots_txt")))
     return parsed.select(
         "doc_id", "host", "path",
-        robots_allows_udf(F.col("path"), F.col("__r.rules")).alias("allowed"),
+        robots_allows_col(F.col("path"), F.col("__r.rules")).alias("allowed"),
     )
 
 

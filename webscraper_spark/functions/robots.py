@@ -90,6 +90,21 @@ def robots_allows_udf(paths: pd.Series, rules: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def robots_allows_col(path, rules):
+    """JVM-expression twin of :func:`robots_allows` (guide §4.1: prefer
+    built-ins — the admission gate runs once per FRONTIER row, and the
+    pandas UDF shipped every row's path + rule array across the Python
+    boundary). Semantics identical: first rule (in file order) whose
+    prefix matches wins ('+' allow / '-' disallow), no match ⇒ allowed,
+    empty/NULL path treated as '/'. ``path``/``rules`` are Columns."""
+    p = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    first = F.try_element_at(
+        F.filter(rules, lambda r: F.startswith(p, F.substr(r, F.lit(2)))),
+        F.lit(1),
+    )
+    return F.coalesce(F.startswith(first, F.lit("+")), F.lit(True))
+
+
 def robots_sitemaps(robots_txt: str | None) -> list[str]:
     """Extract ``Sitemap:`` directives (robots.txt spec: group-
     independent — they apply regardless of the active User-agent block,

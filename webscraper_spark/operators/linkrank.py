@@ -47,9 +47,13 @@ def pagerank(
     (a fixed 1e-9 grid would)."""
     import math
 
+    # persist the deduped edge list for the duration of the build: it is
+    # referenced by out_deg and by every iteration's contribution join,
+    # and without the cache each reference re-runs the scan + distinct
+    # (unpersisted before returning, so nothing outlives the call)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -70,9 +74,9 @@ def pagerank(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    out_deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("__deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(round(1.0 / n, q)))
-    for _ in range(n_iters):
+    for _it in range(n_iters):
         with_deg = ranks.join(
             out_deg, ranks["node"] == out_deg["src"], "left"
         ).select("node", "rank", "__deg")
@@ -90,7 +94,7 @@ def pagerank(
             .agg(F.sum("__c").alias("__in"))
         )
         prev = ranks
-        ranks = _cut(
+        ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -102,10 +106,11 @@ def pagerank(
                     q,
                 ).alias("rank"),
             )
-            # truncate lineage each iteration — without this the nested
-            # join plan grows superlinearly and Catalyst analysis time
-            # dominates (the standard iterative-DataFrame discipline)
         )
+        # truncate lineage each iteration — without this the nested
+        # join plan grows superlinearly and Catalyst analysis time
+        # dominates (the standard iterative-DataFrame discipline)
+        ranks = _cut(ranks)
         if tol is not None:
             delta = (
                 prev.select("node", F.col("rank").alias("__r0"))
@@ -116,6 +121,8 @@ def pagerank(
             if delta is not None and delta < tol:
                 break
     nodes.unpersist()
+    out_deg.unpersist()
+    e.unpersist()
     return ranks
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.robots import parse_robots_udf, robots_allows_udf
+from ..functions.robots import parse_robots_udf, robots_allows_col
 from .topk import topk_per_group
 
 DEFAULT_DELAY_MS = 2000
@@ -83,12 +83,15 @@ def schedule_round(
             | (F.col("next_fetch_ts") <= F.lit(round_start_ts))
         )
 
-    # robots admission (C5): path prefix match against the host's rules
+    # robots admission (C5): path prefix match against the host's rules —
+    # a JVM expression (robots_allows_col), so the per-frontier-row gate
+    # never crosses the Python boundary (guide §4.1; the old pandas UDF
+    # shipped every row's path and rule array to Python and back)
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     joined = joined.withColumn(
         "__allowed",
         F.when(F.col("robots_rules").isNull(), F.lit(True)).otherwise(
-            robots_allows_udf(path, F.col("robots_rules"))
+            robots_allows_col(path, F.col("robots_rules"))
         ),
     ).filter(F.col("__allowed")).drop("__allowed", "robots_rules")
 
