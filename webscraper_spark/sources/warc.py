@@ -182,14 +182,23 @@ def pages_from_warc_records(recs: DataFrame) -> DataFrame:
     lang_id operator to fill downstream."""
     from ..functions.extract import extract_text_udf
 
-    return (
+    ok = (
         recs.filter((F.col("warc_type") == "response") & (F.col("http_status") == 200))
         .filter(F.col("url").isNotNull() & F.col("warc_ts").isNotNull())
-        .select(
-            "url", "warc_ts", "html",
-            extract_text_udf(F.col("html")).alias("text"),
-            F.lit(None).cast("string").alias("lang"),
-        )
+    )
+    # scale-adaptive spread before the per-record extract kernel: record
+    # parallelism is otherwise pinned to the FILE count (one archive =
+    # one splitter task), which serializes extraction when few archives
+    # carry many records (guide §2.5 input skew). On a many-file
+    # production ingest the scan already reaches the session parallelism
+    # and this is a no-op.
+    target = recs.sparkSession.sparkContext.defaultParallelism
+    if ok.rdd.getNumPartitions() < target:
+        ok = ok.repartition(target)
+    return ok.select(
+        "url", "warc_ts", "html",
+        extract_text_udf(F.col("html")).alias("text"),
+        F.lit(None).cast("string").alias("lang"),
     )
 
 
