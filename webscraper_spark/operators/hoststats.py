@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import fingerprint_col, quality_features, quality_score_col
+from .textstats import (
+    fingerprint_kernel_pandas,
+    quality_features,
+    quality_score_col,
+)
 
 
 def host_stats(
@@ -39,8 +43,12 @@ def host_stats(
     Quality scores are multiples of 0.25 (exact binary fractions), so
     the averages are float-order-independent — deterministic across
     partitionings without quantization tricks."""
+    # portable hash via the Arrow fingerprint kernel (bit-identical to
+    # the expression twin; the interpreted char-fold was this operator's
+    # dominant cost and GC source)
     content_hash = (
-        fingerprint_col(text_col) if portable else F.xxhash64(F.col(text_col))
+        fingerprint_kernel_pandas()(F.col(text_col)) if portable
+        else F.xxhash64(F.col(text_col))
     )
     feats = quality_features(docs, text_col=text_col).withColumn(
         "__q", quality_score_col()

@@ -241,6 +241,49 @@ def fingerprint_col(text: str) -> Column:
     )
 
 
+# ASCII \s+ mirrors Java's regex split in words_sql exactly (same class
+# as the lang-ID kernel, which the oracle certifies)
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def fingerprint_kernel_pandas():
+    """Arrow twin of :func:`fingerprint_col`, BIT-IDENTICAL by
+    construction: Spark `trim` strips spaces only → ``strip(' ')``;
+    `split(..., '\\s+')` keeps the leading empty token → ``re.split``
+    with ASCII \\s; `ascii(substring(s,i,1))` is the code point →
+    iterate the str. The interpreted char-fold allocated boxed objects
+    per character (a major GC source across the whole bench); the kernel
+    memoizes word hashes per batch — natural text repeats words heavily
+    (same trick as the SimHash kernel). NULL text → NULL, as the
+    expression's null-propagating aggregate yields."""
+
+    @F.pandas_udf(T.LongType())
+    def _fp(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def _wh(w: str) -> int:
+            v = memo.get(w)
+            if v is None:
+                v = 0
+                for ch in w:
+                    v = (v * POLY_MULT + ord(ch)) % POLY_MOD
+                memo[w] = v
+            return v
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            acc = 0
+            for w in _WS_ASCII.split(t.strip(" ").lower()):
+                acc = (acc * POLY_MULT + _wh(w)) % POLY_MOD
+            out.append(acc)
+        return pd.Series(out, dtype="object")
+
+    return _fp
+
+
 def compression_ratio_udf():
     """Arrow kernel: zlib-compressed size / raw utf-8 size, rounded to 4
     places — the standard cheap repetition detector (Gopher/CCNet-style
