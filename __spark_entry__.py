@@ -916,7 +916,10 @@ def q_benefits_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents")
+    # spread=False: one hash aggregate over the scan — a round-robin
+    # repartition would shuffle full text rows before the map-side
+    # partial agg for no parallelism the agg doesn't already have
+    d = _read(spark, sf_dir, "documents", spread=False)
     out = exact_dedup(d)
     return out.select(
         F.col("canonical_id").cast("long").alias("canonical_id"),
@@ -1464,7 +1467,7 @@ def _warc_fixture_files(spark: SparkSession, sf_dir: str) -> list:
         return hit
     from webscraper_spark.sources.warc import build_warc
 
-    ids = [r.doc_id for r in _read(spark, sf_dir, "documents").select("doc_id").collect()]
+    ids = [r.doc_id for r in _read(spark, sf_dir, "documents", spread=False).select("doc_id").collect()]
     base = datetime(2025, 7, 25)
 
     def rec(i):
@@ -1517,7 +1520,7 @@ def _sitemap_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     import gzip as _gzip
 
     ids = sorted(
-        r.doc_id for r in _read(spark, sf_dir, "documents").select("doc_id").collect()
+        r.doc_id for r in _read(spark, sf_dir, "documents", spread=False).select("doc_id").collect()
     )
 
     def entry(i: int) -> str:
@@ -1761,7 +1764,7 @@ def _feed_fixture_files(spark: SparkSession, sf_dir: str) -> list:
     import gzip as _gzip
 
     ids = sorted(
-        r.doc_id for r in _read(spark, sf_dir, "documents").select("doc_id").collect()
+        r.doc_id for r in _read(spark, sf_dir, "documents", spread=False).select("doc_id").collect()
     )
 
     def rss_item(i: int) -> str:
