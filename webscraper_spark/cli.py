@@ -71,16 +71,19 @@ def cmd_crawl(args) -> int:
 
             sink = os.path.join(args.store, "pages_stream")
             ckpt = os.path.join(args.store, "pages_stream_ckpt")
+            sdf = stream_pages_from_drop(spark, args.drop_dir)
             q = (
-                stream_pages_from_drop(spark, args.drop_dir)
-                .writeStream.format("parquet")
+                sdf.writeStream.format("parquet")
                 .option("path", sink)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-            pages = spark.read.parquet(sink)
+            # explicit schema: an empty drop dir writes zero data files,
+            # and schema inference over the bare sink would raise instead
+            # of running a clean round over an empty corpus (ADVICE r05)
+            pages = spark.read.schema(sdf.schema).parquet(sink)
         else:
             pages = spark.read.parquet(args.pages)
         lineages = run_crawl(
@@ -182,11 +185,12 @@ def cmd_curate(args) -> int:
     # decontamination is the ONLY post-gate dropper, so its count falls
     # out of (gate count − written count) with no extra action.
     n_gated = None
+    gate_cache = None
     if args.benchmark:
         from .operators.decontam import decontaminate
 
         bench = spark.read.parquet(args.benchmark).select("text")
-        gated = gated.persist()
+        gated = gate_cache = gated.persist()
         n_gated = gated.count()
         gated = decontaminate(gated, bench)
     if args.redact_pii:
@@ -200,6 +204,11 @@ def cmd_curate(args) -> int:
             "lang_pred", "quality_score",
         ).withColumn("n_tokens", token_count_col("text"))
     gated.write.mode("overwrite").parquet(f"{args.out}/clean_docs.parquet")
+    if gate_cache is not None:
+        # the clean_docs write is the last consumer of the cached gate;
+        # unpersist so a library-driven cmd_curate doesn't pin the
+        # upstream pipeline for the rest of the session (ADVICE r05)
+        gate_cache.unpersist()
     gated = spark.read.parquet(f"{args.out}/clean_docs.parquet")
 
     emb = embed_documents_fast(gated.select("doc_id", "text"), id_col="doc_id")

@@ -313,7 +313,14 @@ def _scan_objects(blob: bytes) -> tuple[dict, list]:
                     if k >= len(endstreams):
                         continue
                     ln = endstreams[k] - start
-                raw = blob[start:start + ln].rstrip(b"\r\n")
+                    # anchor span includes the EOL before 'endstream' —
+                    # strip it here ONLY; a trusted, endstream-verified
+                    # /Length slice is stream data byte-for-byte (an
+                    # uncompressed stream may legitimately end in
+                    # 0x0A/0x0D — ADVICE r05)
+                    raw = blob[start:start + ln].rstrip(b"\r\n")
+                else:
+                    raw = blob[start:start + ln]
                 val = _Stream(val, raw)
                 body_end = start + ln
         skip_until = body_end

@@ -192,9 +192,12 @@ def pages_from_warc_records(recs: DataFrame) -> DataFrame:
     # carry many records (guide §2.5 input skew). On a many-file
     # production ingest the scan already reaches the session parallelism
     # and this is a no-op.
-    target = recs.sparkSession.sparkContext.defaultParallelism
-    if ok.rdd.getNumPartitions() < target:
-        ok = ok.repartition(target)
+    # (batch only: a streaming source has no static partition count, and
+    # availableNow micro-batches are already file-bounded)
+    if not recs.isStreaming:
+        target = recs.sparkSession.sparkContext.defaultParallelism
+        if ok.rdd.getNumPartitions() < target:
+            ok = ok.repartition(target)
     return ok.select(
         "url", "warc_ts", "html",
         extract_text_udf(F.col("html")).alias("text"),

@@ -133,11 +133,31 @@ def discover_new_warcs(
     return _subtract_ledger(store, _list_candidates(drop_dir, settle_seconds))
 
 
+def _legacy_ingested_basenames(store: TableStore) -> set[str]:
+    """Basenames recorded by the PRE-ledger discovery checkpoint
+    (rounds committed before the ``ingest_ledger`` delta table existed
+    kept an ``ingested_files`` basename list in manifest lineage).
+    Resuming such a store with ledger-only subtraction would silently
+    re-ingest every archive those rounds already ingested — duplicate
+    pages in the corpus — so these names stay subtracted forever."""
+    out: set[str] = set()
+    for lin in store.read_manifest().get("lineage", {}).values():
+        names = lin.get("ingested_files")
+        if isinstance(names, (list, tuple)):
+            out.update(os.path.basename(str(n)) for n in names)
+    return out
+
+
 def _subtract_ledger(
     store: TableStore, cand: list[tuple[str, int, int]]
 ) -> list[str]:
     if not cand:
         return []
+    legacy = _legacy_ingested_basenames(store)
+    if legacy:
+        cand = [c for c in cand if os.path.basename(c[0]) not in legacy]
+        if not cand:
+            return []
     led = ingest_ledger(store)
     if led is None:
         return [p for p, _, _ in cand]
