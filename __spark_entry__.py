@@ -1043,8 +1043,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign_fast,
     )
 
+    # spread scan for the kernel-heavy main pipeline; UNSPREAD scan for
+    # the dedup aggregate (pure hash-agg — the spread exchange is a raw-
+    # text shuffle it doesn't need, see q_exact_dedup) and the 1%-filter
+    # centroid build (filter pushes to the scan)
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    canon = exact_dedup(d).select(F.col("canonical_id").alias("doc_id"))
+    d_flat = _read(spark, sf_dir, "documents", spread=False).select("doc_id", "text")
+    canon = exact_dedup(d_flat).select(F.col("canonical_id").alias("doc_id"))
     kept = d.join(canon, on="doc_id", how="left_semi")
     scored = quality_features(lang_id(kept)).withColumn(
         "quality_score", quality_score_col()
@@ -1064,7 +1069,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = gated.withColumn(
         "embedding", embed_kernel_pandas()(F.col("text"))
     ).drop("text")
-    cents = embed_documents_fast(d.filter(F.col("doc_id") % 100 == 0))
+    cents = embed_documents_fast(d_flat.filter(F.col("doc_id") % 100 == 0))
     assigned = ivf_assign_fast(emb, cents, id_col="doc_id", vec_col="embedding")
     return assigned.select(
         "doc_id", "lang_pred", "quality_score", "n_tokens", "centroid_id"
